@@ -1,0 +1,178 @@
+"""Text scalar functions: tokenize, stopwords, n-grams, quality, lang-id,
+token counting, fingerprinting.
+
+Reference parity: ``TokenizationBolt.java:126-154`` runs Lucene
+StandardTokenizer → StopFilter(English) → optional ShingleFilter →
+LowerCaseFilter, row-at-a-time. Here every transform is a built-in
+column expression (JVM-side, whole-stage codegen) — no UDFs. Each
+function documents its DuckDB-equivalent SQL so queries stay
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lucene's EnglishAnalyzer default stop set (public, org.apache.lucene
+# .analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET) — the set the
+# reference's StopFilter uses (TokenizationBolt.java:135-137).
+STOPWORDS = (
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+).split()
+
+# tiny per-language stopword lists for the heuristic language-id
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "en", "los", "una", "por"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "une", "pour"],
+}
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """lower → split on non-alphanumeric → drop empties.
+
+    DuckDB: list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '')
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def tokenize_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
+def remove_stopwords(tokens: Column) -> Column:
+    """StopFilter equivalent (order-preserving, keeps duplicates).
+
+    DuckDB: list_filter(tokens, t -> NOT list_contains([...], t))
+    """
+    stop = F.lit(STOPWORDS)
+    return F.filter(tokens, lambda t: ~F.array_contains(stop, t))
+
+
+def remove_stopwords_sql(tokens_expr: str) -> str:
+    stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"list_filter({tokens_expr}, t -> NOT list_contains({stoplist}, t))"
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """ShingleFilter equivalent: space-joined n-grams in order.
+
+    DuckDB: list_transform(range(1, len(toks)-n+2), i ->
+              array_to_string(toks[i:i+n-1], ' '))  -- 1-based inclusive slice
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+
+
+def ngrams_sql(tokens_expr: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({tokens_expr})[i:i+{n - 1}], ' '))"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-ish token count. DuckDB: len(tokenize_sql(x))."""
+    return F.size(tokenize(col))
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    stop = F.lit(STOPWORDS)
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
+    return F.when(F.size(tokens) > 0, n_stop / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Document quality heuristic ∈ [0,1]: mean of a length score, an
+    alphanumeric-density score, and a stopword-presence score.
+
+    Behavioral stand-in for the reference's boilerpipe
+    ``SimpleEstimator.isLowQuality`` gate (ArticleExtractionBolt.java:
+    299-322) — the reference's estimator needs block statistics we apply
+    at span level; this is the document-level scalar variant. Formula is
+    fully SQL-expressible (see quality_score_sql).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    density = F.when(F.length(c) > 0, alnum / F.length(c)).otherwise(F.lit(0.0))
+    stop = stopword_ratio(toks)
+    stop_score = F.least(stop * F.lit(4.0), F.lit(1.0))
+    return F.round((len_score + density + stop_score) / F.lit(3.0), 6)
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = tokenize_sql(expr)
+    stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return (
+        "round(("
+        f"least(len({toks}) / 100.0, 1.0) + "
+        f"(CASE WHEN length({expr}) > 0 THEN length(regexp_replace(lower({expr}), '[^a-z0-9]', '', 'g')) * 1.0 / length({expr}) ELSE 0.0 END) + "
+        f"least((CASE WHEN len({toks}) > 0 THEN len(list_filter({toks}, t -> list_contains({stoplist}, t))) * 1.0 / len({toks}) ELSE 0.0 END) * 4.0, 1.0)"
+        ") / 3.0, 6)"
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language id: argmax of per-language marker-stopword hit
+    counts over LANG_MARKERS; 'und' when no marker hits. Deterministic
+    tie-break by language code order en<es<de<fr via max_by on
+    (count, -rank) — SQL-expressible both sides.
+    """
+    toks = tokenize(text)
+    scores = [
+        (
+            code,
+            F.size(F.filter(toks, lambda t, ws=ws: F.array_contains(F.lit(ws), t))),
+        )
+        for code, ws in LANG_MARKERS.items()
+    ]
+    # build: greatest count wins; ties broken by list order (first wins)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for code, n in reversed(scores):  # reversed so earlier codes win ties
+        best = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(code)).otherwise(best)
+        best_n = F.greatest(best_n, n)
+    return best
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = tokenize_sql(expr)
+    parts_n = []
+    for code, ws in LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        parts_n.append(
+            (code, f"len(list_filter({toks}, t -> list_contains({lst}, t)))")
+        )
+    best, best_n = "'und'", "0"
+    for code, n in reversed(parts_n):
+        best = f"(CASE WHEN {n} >= greatest({best_n}, 1) THEN '{code}' ELSE {best} END)"
+        best_n = f"greatest({best_n}, {n})"
+    return best
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Key-collision fingerprint: md5 of sorted distinct tokens —
+    classic clustering key for near-identical documents.
+
+    DuckDB: md5(array_to_string(list_sort(list_distinct(tokens)), ' '))
+    """
+    toks = tokenize(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def fingerprint_sql(expr: str) -> str:
+    toks = tokenize_sql(expr)
+    return f"md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
