@@ -21,7 +21,10 @@ from mklab_focused_crawler_spark.functions.text import (
     STOPWORDS,
     TOKEN_SPLIT_RE,
 )
+from mklab_focused_crawler_spark.functions import scoring, urls
 from mklab_focused_crawler_spark.sources.tables import load_table
+
+from pyspark.sql import functions as F
 
 _TOKS_SQL = (
     f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
@@ -50,9 +53,91 @@ def _q_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans_stats(build_spans(docs))
 
 
+# Deterministic URL corpus derived from documents.doc_id — identical
+# string construction on both engines so the URL ops themselves are the
+# thing under test.
+def _synth_url_col():
+    d = F.col("doc_id").cast("string")
+    return (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("https://instagram.com/p/pic"), d, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("https://www.youtube.com/watch?v=vid"), d),
+        )
+        .when(F.col("doc_id") % 17 == 0, F.concat(F.lit("https://vimeo.com/"), d))
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(
+                F.lit("http://www.facebook.com/photo.php?fbid=f"), d, F.lit("&set=a.1")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTP://WWW.Site"),
+                (F.col("doc_id") % 23).cast("string"),
+                F.lit(".Example.COM:80/Articles/"),
+                d,
+                F.lit("/?utm=x&b="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&a=1#frag"),
+            )
+        )
+    )
+
+
+_SYNTH_URL_SQL = """
+    (CASE
+      WHEN doc_id % 11 = 0 THEN 'https://instagram.com/p/pic' || CAST(doc_id AS VARCHAR) || '/'
+      WHEN doc_id % 13 = 0 THEN 'https://www.youtube.com/watch?v=vid' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 17 = 0 THEN 'https://vimeo.com/' || CAST(doc_id AS VARCHAR)
+      WHEN doc_id % 19 = 0 THEN 'http://www.facebook.com/photo.php?fbid=f' || CAST(doc_id AS VARCHAR) || '&set=a.1'
+      ELSE 'HTTP://WWW.Site' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM:80/Articles/'
+           || CAST(doc_id AS VARCHAR) || '/?utm=x&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1#frag'
+    END)
+"""
+
+
+def _q_url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    df = docs.withColumn("url", _synth_url_col())
+    plat, mid = urls.platform_media_id(F.col("url"))
+    return df.select(
+        "doc_id",
+        "url",
+        urls.canonicalize_url("url").alias("canonical_url"),
+        urls.url_host("url").alias("host"),
+        urls.route("url").alias("route"),
+        plat.alias("platform"),
+        mid.alias("media_id"),
+        (F.length("url") <= urls.MAX_URL_LENGTH).alias("url_ok"),
+    ).orderBy("doc_id")
+
+
+_NOW_MS = 1704240000000  # 2024-01-03T00:00:00Z, after every events.ts
+
+
+def _q_page_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            scoring.page_score(
+                F.col("user_id"), F.unix_millis(F.col("ts").cast("timestamp")), _NOW_MS
+            ),
+            9,
+        ).alias("score"),
+        F.round(scoring.shares_score(F.col("user_id")), 9).alias("shares_score"),
+    ).orderBy("event_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_source": _q_top_terms,
     "spans_stats": _q_spans_stats,
+    "url_layer": _q_url_layer,
+    "page_score": _q_page_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -75,6 +160,23 @@ ORACLES: dict[str, str] = {
         ORDER BY source, rank
     """,
     "spans_stats": spans_stats_oracle_sql(),
+    "url_layer": f"""
+        WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+        SELECT doc_id, url,
+               {urls.canonicalize_url_sql("url")} AS canonical_url,
+               {urls.url_host_sql("url")} AS host,
+               {urls.route_sql("url")} AS route,
+               {urls.platform_media_id_sql("url")[0]} AS platform,
+               {urls.platform_media_id_sql("url")[1]} AS media_id,
+               (length(url) <= {urls.MAX_URL_LENGTH}) AS url_ok
+        FROM u ORDER BY doc_id
+    """,
+    "page_score": f"""
+        SELECT event_id,
+               round({scoring.page_score_sql("user_id", "epoch_ms(ts)", _NOW_MS)}, 9) AS score,
+               round({scoring.shares_score_sql("user_id")}, 9) AS shares_score
+        FROM events ORDER BY event_id
+    """,
 }
 
 
