@@ -1,0 +1,154 @@
+"""URL-seen set: exact first-seen-wins table + partitioned Bloom filter.
+
+Reference semantics: StatusCheckBolt.java:59-68 — Redis
+``hget(id,"STATUS")``; emit only if absent, then mark. First-seen-wins,
+exact. CrawlDecider.java:14,23-36 adds a 24h TTL variant.
+
+Spark design (north_rule): the seen set is keyed on
+``xxhash64(canonical_url)`` and bucketed by ``pmod(url_hash, n_buckets)``.
+Membership testing for a candidate batch is:
+
+1. **Bloom prune** — per-bucket Bloom filters (built vectorized in
+   numpy inside ``applyInPandas``) are cogrouped with the candidates on
+   ``bucket``; candidates whose bits miss are *definitely new* and skip
+   the exact join entirely.
+2. **Exact confirm** — Bloom hits (possible false positives) go through
+   a ``left_anti`` join against the exact seen table.
+
+Bloom never drops a truly-new URL (no false negatives — property-tested)
+and never admits a seen one (anti-join is exact), so seen-set parity is
+exact; the Bloom only prunes join volume.
+
+Scale math (10^10 keys): n_buckets=16384 → ~610k keys/bucket; at 12
+bits/key each bucket's filter is ~0.9 MB — safely inside an executor
+task, never on the driver. Candidates shuffle by the same ``bucket``
+key the seen table is bucketed on, so the cogroup is co-partitioned
+with the exact table's anti-join. The 24h TTL variant filters
+``first_seen_iter`` at join time; physical deletion would move to a
+cuckoo filter (delete-capable) — see operators/cuckoo.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url
+
+N_HASHES = 7
+BITS_PER_KEY = 12
+
+
+def url_hash(col) -> F.Column:
+    """Seen-set key: xxhash64 of the canonical URL (north_rule)."""
+    return F.xxhash64(canonicalize_url(col))
+
+
+def with_seen_key(df: DataFrame, url_col: str, n_buckets: int) -> DataFrame:
+    return df.withColumn("canonical_url", canonicalize_url(url_col)).withColumn(
+        "url_hash", F.xxhash64(F.col("canonical_url"))
+    ).withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates probe positions from key
+    structure (raw keys may be sequential ints, not just xxhash64)."""
+    with np.errstate(over="ignore"):
+        z = h + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _positions(h: np.ndarray, nbits: int) -> np.ndarray:
+    """k double-hash probe positions per key: (h1 + i*h2) mod nbits over
+    the mixed key. h2 forced odd so probes cycle the full ring.
+    Returns shape (len(h), N_HASHES).
+    """
+    m = _mix64(h)
+    h1 = m & np.uint64(0xFFFFFFFF)
+    h2 = (m >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(N_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(nbits)).astype(
+        np.int64
+    )
+
+
+def _build_one(hashes: np.ndarray) -> tuple[int, bytes]:
+    n = max(len(hashes), 1)
+    nbits = 1 << max(6, math.ceil(math.log2(n * BITS_PER_KEY)))
+    pos = _positions(hashes.astype(np.uint64), nbits)
+    arr = np.zeros(nbits >> 3, dtype=np.uint8)
+    np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return nbits, arr.tobytes()
+
+
+def build_bloom(seen: DataFrame) -> DataFrame:
+    """Per-bucket Bloom filters: (bucket, nbits, n_keys, bits)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        nbits, bits = _build_one(pdf["url_hash"].to_numpy())
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "nbits": [nbits],
+                "n_keys": [len(pdf)],
+                "bits": [bits],
+            }
+        )
+
+    return seen.select("bucket", "url_hash").groupBy("bucket").applyInPandas(
+        build, "bucket int, nbits long, n_keys long, bits binary"
+    )
+
+
+def filter_unseen(candidates: DataFrame, seen: DataFrame, bloom: DataFrame | None) -> DataFrame:
+    """Rows of ``candidates`` whose url_hash is not in ``seen``.
+
+    candidates must carry (url_hash, bucket). With a bloom, definite
+    misses skip the anti-join; hits are confirmed exactly.
+    """
+    if bloom is None:
+        return candidates.join(
+            seen.select("url_hash"), "url_hash", "left_anti"
+        )
+
+    def check(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return cand.assign(might_contain=pd.Series([], dtype=bool))
+        if len(blm) == 0:
+            return cand.assign(might_contain=False)
+        nbits = int(blm["nbits"].iloc[0])
+        arr = np.frombuffer(blm["bits"].iloc[0], dtype=np.uint8)
+        pos = _positions(cand["url_hash"].to_numpy().astype(np.uint64), nbits)
+        hit = (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return cand.assign(might_contain=hit.all(axis=1))
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    checked = (
+        candidates.groupBy("bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(check, schema + ", might_contain boolean")
+    )
+    definite_new = checked.filter(~F.col("might_contain")).drop("might_contain")
+    maybe = checked.filter(F.col("might_contain")).drop("might_contain")
+    confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definite_new.unionByName(confirmed_new)
+
+
+def first_seen_wins(new_rows: DataFrame) -> DataFrame:
+    """Dedup a batch of candidate rows to one winner per url_hash —
+    deterministic: lowest (priority asc) wins; callers pass e.g.
+    discovery order or score rank as ``priority``."""
+    w = F.row_number().over(
+        Window.partitionBy("url_hash").orderBy(
+            F.asc("priority"), F.asc("canonical_url")
+        )
+    )
+    return new_rows.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")

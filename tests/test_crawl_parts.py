@@ -1,0 +1,173 @@
+"""Unit tests: snapshot storage, synthetic web, bloom seen-set,
+span extraction parity vs the independent reference extractor."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mklab_focused_crawler_spark.operators import seen as seen_mod
+from mklab_focused_crawler_spark.operators.extraction import extract_articles
+from mklab_focused_crawler_spark.sources.synthetic_web import (
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+)
+from mklab_focused_crawler_spark.storage import SnapshotTable
+from tests.reference_extractor import extract as ref_extract
+
+
+# --------------------------- storage ---------------------------------
+def test_snapshot_table_commit_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "t")
+    assert not t.exists()
+    t.overwrite(spark.createDataFrame([(1,)], "a int"))
+    t.append(spark.createDataFrame([(2,)], "a int"))
+    assert t.current_snapshot() == 2
+    assert sorted(r["a"] for r in t.read(spark).collect()) == [1, 2]
+    assert [r["a"] for r in t.read(spark, snapshot=1).collect()] == [1]
+    t.rollback_to(1)
+    assert [r["a"] for r in t.read(spark).collect()] == [1]
+    t2 = SnapshotTable(str(tmp_path), "t")  # fresh handle = resume
+    assert t2.current_snapshot() == 1
+
+
+# --------------------------- synthetic web ---------------------------
+def test_pages_deterministic(spark):
+    a = generate_pages(spark, 100).orderBy("url").collect()
+    b = generate_pages(spark, 100).orderBy("url").collect()
+    assert a == b
+
+
+def test_pages_shape(spark):
+    rows = generate_pages(spark, 200).collect()
+    assert len(rows) == 200
+    by_url = {r["url"]: r for r in rows}
+    urls = set(by_url)
+    redirects = [r for r in rows if r["redirect_to"] is not None]
+    assert redirects and all(r["redirect_to"] in urls for r in redirects)
+    nonhtml = [r for r in rows if r["mime"] != "text/html"]
+    assert nonhtml and all(r["html"] == "" for r in nonhtml)
+    # skew: top host owns >20% of pages
+    hosts = {}
+    for r in rows:
+        hosts[r["host_idx"]] = hosts.get(r["host_idx"], 0) + 1
+    assert max(hosts.values()) > 40
+    robots = generate_robots(spark).collect()
+    assert any(r["disallow_prefixes"] for r in robots)
+    seeds = generate_seeds(spark, 200, 10).collect()
+    assert len(seeds) == 10 and all(s["url"] in urls for s in seeds)
+
+
+# --------------------------- bloom seen-set --------------------------
+N_BUCKETS = 8
+
+
+def _seen_df(spark, hashes):
+    return spark.createDataFrame(
+        [(h, h % N_BUCKETS) for h in hashes], "url_hash long, bucket int"
+    )
+
+
+def test_bloom_no_false_negatives_and_exactness(spark):
+    seen_hashes = list(range(0, 5000, 2))  # evens seen
+    cand_hashes = list(range(1000, 6000))  # mix
+    seen_df = _seen_df(spark, seen_hashes)
+    bloom = seen_mod.build_bloom(seen_df)
+    cands = _seen_df(spark, cand_hashes)
+    got = sorted(
+        r["url_hash"]
+        for r in seen_mod.filter_unseen(cands, seen_df, bloom).collect()
+    )
+    want = sorted(h for h in cand_hashes if h not in set(seen_hashes))
+    assert got == want  # bloom+confirm == exact semantics
+
+
+def test_bloom_prunes(spark):
+    seen_hashes = list(range(1000))
+    seen_df = _seen_df(spark, seen_hashes)
+    bloom = seen_mod.build_bloom(seen_df).collect()
+    assert all(b["nbits"] >= len(seen_hashes) for b in bloom)
+    # false-positive sanity: far-away candidates mostly pruned
+    import numpy as np
+
+    from mklab_focused_crawler_spark.operators.seen import _positions
+
+    fp = 0
+    for b in bloom:
+        arr = np.frombuffer(b["bits"], dtype=np.uint8)
+        probe = np.arange(10_000_000, 10_001_000, dtype=np.uint64)
+        pos = _positions(probe, int(b["nbits"]))
+        hit = (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        fp += int(hit.all(axis=1).sum())
+    assert fp < 100  # « 1000 probes/bucket; 12 bits/key ⇒ fp ≈ 0.3%
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.sets(st.integers(min_value=-(2**62), max_value=2**62), max_size=50))
+def test_bloom_positions_no_false_negatives_property(hashes):
+    import numpy as np
+
+    from mklab_focused_crawler_spark.operators.seen import _build_one, _positions
+
+    if not hashes:
+        return
+    arr_h = np.array(sorted(hashes), dtype=np.int64)
+    nbits, bits = _build_one(arr_h)
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    pos = _positions(arr_h.astype(np.uint64), nbits)
+    hit = (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    assert hit.all()  # every inserted key must test positive
+
+
+# --------------------------- extraction ------------------------------
+def test_extraction_matches_reference(spark):
+    pages = generate_pages(spark, 120).filter(F.col("mime") == "text/html")
+    rows = {r["url"]: r["html"] for r in pages.collect()}
+    got = {
+        r["doc_id"]: r
+        for r in extract_articles(pages, "url", "html").collect()
+    }
+    assert set(got) == set(rows)
+    checked_media = 0
+    for url, html in rows.items():
+        want = ref_extract(html)
+        g = got[url]
+        assert g["title"] == want["title"], url
+        assert g["is_article"] == want["is_article"], url
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ]
+        want_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in want["spans"]
+        ]
+        assert got_spans == want_spans, url  # the per-row invariant
+        assert list(g["media_ids"]) == want["media_ids"], url
+        checked_media += len(want["media_ids"])
+    assert checked_media > 0  # fixture actually exercises media spans
+
+
+def test_extraction_edge_cases(spark):
+    cases = [
+        ("empty", ""),
+        ("no_blocks", "<html><body>just text no block tags at all here</body></html>"),
+        ("only_nav", '<html><body><div><a href="/">a b c d e f</a></div></body></html>'),
+        (
+            "img_no_alt_no_title",
+            "<html><body><p>one two three four five six "
+            '<img src="http://x.test/a.jpg" width="300" height="300"></p></body></html>',
+        ),
+    ]
+    df = spark.createDataFrame(cases, "url string, html string")
+    got = {r["doc_id"]: r for r in extract_articles(df, "url", "html").collect()}
+    for name, html in cases:
+        want = ref_extract(html)
+        g = got[name]
+        got_spans = [(s["kind"], s["text"], s["media_ref"]) for s in g["spans"]]
+        want_spans = [(s["kind"], s["text"], s["media_ref"]) for s in want["spans"]]
+        assert got_spans == want_spans, name
+    # img with no alt and no page title → dropped (alt-fallback rule)
+    assert got["img_no_alt_no_title"]["media"] == 0
