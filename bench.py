@@ -1,0 +1,79 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the `noop` sink (full plan runs distributed; no
+driver-side collect skew). One warm-up pass on the flagship query warms
+the JVM + Arrow before any timed run.
+
+Also reports `crawl_urls_per_sec`: one politeness-budgeted iteration of
+the frontier scheduler + fetch-join + span extraction over the synthetic
+web (the north_rule metric at sandbox scale; see BENCH/BASELINE.md for
+the two-parallelism scaling protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    from mklab_focused_crawler_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    qs = entry_mod.queries()
+    # warm-up: flagship query once (JVM JIT, Arrow init) — untimed
+    _force(qs["top_terms_per_source"](spark, SF_DIR))
+
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # crawl-loop throughput: the north_rule metric at sandbox scale.
+    crawl = None
+    try:
+        from mklab_focused_crawler_spark.operators.crawl import bench_crawl_iteration
+
+        crawl = bench_crawl_iteration(spark, n_pages=200_000)
+        timings["crawl_iteration"] = round(crawl["seconds"], 3)
+    except ImportError:
+        pass
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_query_seconds_sf" + sf,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if crawl is not None:
+        out["crawl_urls_per_sec"] = round(crawl["urls_per_sec"], 1)
+        out["crawl_urls"] = crawl["urls"]
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,13 @@ def url_host_sql(expr: str) -> str:
     return f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
 
 
+def url_path(col: Column | str) -> Column:
+    """Path component of an absolute URL ('/' when empty) — robots
+    prefix matching operates on this."""
+    p = F.regexp_extract(_c(col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
 def route(col: Column | str) -> Column:
     """'media' if host ∈ MEDIA_DOMAINS else 'webpage'
     (URLExpansionBolt.java:76-81)."""

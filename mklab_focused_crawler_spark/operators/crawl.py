@@ -1,0 +1,307 @@
+"""The batch-iterative crawl loop: claim → expand → seen-gate → fetch →
+extract → discover → commit.
+
+This is the Spark-native re-expression of the reference's whole
+`FocusedCrawler` topology (FocusedCrawler.java:140-167): instead of an
+always-on Storm graph pushing tuples through queues, each iteration is
+one deterministic BSP super-step over snapshot-committed tables
+(SURVEY §7 design stance). One iteration =
+
+1. **claim**    — politeness-budgeted per-host top-k off the frontier
+                  (operators/frontier.py; RankerBolt order semantics).
+2. **expand**   — redirect-chain resolution, ≤4 hops
+                  (URLExpansionBolt.java:30,110-134).
+3. **fetch**    — equi-join against the page store (the synthetic web
+                  stands in for HTTP; WebPageFetcherBolt.java). MIME
+                  gate text/html (WebPageFetcherBolt.java:215-222).
+4. **extract**  — vectorized boilerpipe-style span extraction
+                  (operators/extraction.py; ArticleExtractionBolt).
+5. **discover** — out-links → canonicalize → Bloom-pruned seen gate
+                  (operators/seen.py; StatusCheckBolt first-seen-wins)
+                  → batch dedup → score (RankerBolt formula) → schedule.
+6. **commit**   — documents/seen/frontier/metrics snapshot commits
+                  (storage/snapshot.py). Resume = re-read CURRENT.
+
+Determinism: crawl order is the *defined* sort (score desc, url_hash
+asc) per iteration — the reference's intended priority order minus its
+thread races (SURVEY §3.4). ``now_ms`` is an explicit parameter.
+
+Scale notes (10^10 frontier):
+- The frontier is rewritten per iteration here (sandbox parquet); on a
+  real cluster the table is Iceberg, partitioned by ``bucket``, and the
+  claim/remainder split is a MERGE that touches only claimed partitions.
+- Every join in the loop is keyed (url / url_hash / bucket); the pages
+  store would be bucketed on url so fetch-join and redirect-joins are
+  co-partitioned scans, not full shuffles.
+- The seen gate never materializes the seen set on the driver: Bloom
+  prune + exact anti-join, both executor-side (operators/seen.py).
+- Per-iteration metrics carry per-partition lineage rows so a skewed or
+  failed partition is attributable (north_rule lineage requirement).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scoring
+from ..functions.urls import canonicalize_url, url_host, url_path
+from ..sources.synthetic_web import (
+    BASE_MS,
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+)
+from ..storage.snapshot import SnapshotTable
+from .extraction import extract_articles
+from .frontier import claim_batch, expand_redirects
+from .seen import build_bloom, filter_unseen, first_seen_wins, with_seen_key
+
+DEFAULT_NOW_MS = BASE_MS + 86_400_000  # fixed "now": 2024-01-02T00:00:00Z
+N_BUCKETS_DEFAULT = 32
+
+
+def prepare_candidates(
+    urls_df: DataFrame,
+    pages_meta: DataFrame,
+    now_ms: int,
+    n_buckets: int,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """URL rows → frontier-shaped rows: canonical key, host/path, score.
+
+    ``pages_meta`` (url, shares, pub_ms) plays the role of the social
+    metadata that rides along with WebPages in the reference's JSON
+    ingress (RankerBolt.java:78-92 scores each page by its own
+    shares/date). Unknown URLs score with shares=0, pub_ms=null.
+    """
+    cand = with_seen_key(urls_df, "url", n_buckets)
+    cand = first_seen_wins(
+        cand.withColumn("priority", F.col(priority_col).cast("long"))
+    )
+    cand = cand.join(pages_meta, "url", "left")
+    return cand.select(
+        "url",
+        "canonical_url",
+        "url_hash",
+        "bucket",
+        url_host("url").alias("host"),
+        url_path("url").alias("path"),
+        scoring.page_score(
+            F.coalesce(F.col("shares"), F.lit(0)), F.col("pub_ms"), now_ms
+        ).alias("score"),
+    )
+
+
+def _partition_lineage(df: DataFrame, iteration: int, stage: str) -> DataFrame:
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(
+            F.lit(iteration).alias("iteration"),
+            F.lit(stage).alias("stage"),
+            "partition_id",
+            "rows",
+        )
+    )
+
+
+class CrawlLoop:
+    """Owns the iteration control Spark lacks natively (SURVEY §7 hard
+    part #5) and the snapshot tables: frontier, seen, documents,
+    metrics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = N_BUCKETS_DEFAULT,
+        now_ms: int = DEFAULT_NOW_MS,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.now_ms = now_ms
+        self.n_buckets = n_buckets
+        self.use_bloom = use_bloom
+        self.frontier = SnapshotTable(root, "frontier")
+        self.seen = SnapshotTable(root, "seen")
+        self.documents = SnapshotTable(root, "documents")
+        self.metrics = SnapshotTable(root, "metrics")
+
+    # ------------------------------------------------------------------
+    def init(self, seeds: DataFrame, pages_meta: DataFrame) -> None:
+        """Seed the frontier; seeds are marked seen at injection
+        (StatusCheckBolt semantics: mark when scheduled, not when
+        fetched)."""
+        cand = prepare_candidates(
+            seeds.select("url", F.col("rank").alias("priority")),
+            pages_meta,
+            self.now_ms,
+            self.n_buckets,
+        )
+        self.frontier.overwrite(cand)
+        self.seen.overwrite(
+            self.frontier.read(self.spark).select(
+                "url_hash", "bucket", "canonical_url", F.lit(0).alias("first_seen_iter")
+            )
+        )
+
+    def completed_iterations(self) -> int:
+        if not self.metrics.exists():
+            return 0
+        df = self.metrics.read(self.spark)
+        row = df.agg(F.max("iteration")).collect()[0][0]
+        return int(row) + 1 if row is not None else 0
+
+    # ------------------------------------------------------------------
+    def run_iteration(
+        self,
+        pages: DataFrame,
+        robots: DataFrame,
+        redirects: DataFrame,
+        iteration: int,
+    ) -> dict:
+        frontier = self.frontier.read(self.spark)
+        seen = self.seen.read(self.spark)
+
+        # 1. claim (politeness + robots + deterministic priority)
+        claimed, remaining = claim_batch(frontier, robots)
+        claimed = claimed.persist()
+        n_claimed = claimed.count()
+        if n_claimed == 0:
+            claimed.unpersist()
+            return {"iteration": iteration, "claimed": 0, "done": True}
+
+        # 2. redirect expansion (≤4 hops), re-canonicalize the final URL
+        expanded = expand_redirects(claimed, redirects).withColumn(
+            "final_url", canonicalize_url(F.col("expanded_url"))
+        )
+
+        # 3. fetch = join the page store on the expanded URL; MIME gate
+        fetched = expanded.join(
+            pages.select(
+                F.col("url").alias("expanded_url"), "mime", "html", "out_links"
+            ),
+            "expanded_url",
+            "left",
+        ).persist()
+        ok = fetched.filter(F.col("mime") == "text/html")
+        n_mime_rejected = fetched.filter(
+            F.col("mime").isNotNull() & (F.col("mime") != "text/html")
+        ).count()
+        n_missing = fetched.filter(F.col("mime").isNull()).count()
+
+        # 4. extract spans; rejoin crawl metadata by the *source* url_hash
+        # (unique per claimed row — two claims can share a final_url when
+        # a redirect source and its target are claimed together, so
+        # final_url is not a safe join key)
+        ok = ok.withColumn("row_key", F.col("url_hash").cast("string"))
+        docs = extract_articles(ok, id_col="row_key", html_col="html")
+        doc_rows = (
+            docs.withColumnRenamed("doc_id", "row_key")
+            .join(
+                ok.select(
+                    "row_key",
+                    F.col("final_url").alias("doc_id"),
+                    F.col("canonical_url").alias("source_url"),
+                    "host",
+                    "score",
+                    "crawl_order",
+                ),
+                "row_key",
+            )
+            .drop("row_key")
+            .withColumn("iteration", F.lit(iteration))
+        )
+
+        # 5. discover out-links → seen gate → schedule
+        links = (
+            ok.select(F.explode("out_links").alias("url"), "crawl_order")
+            .groupBy("url")
+            .agg(F.min("crawl_order").alias("priority"))
+        )
+        cand = prepare_candidates(
+            links, pages.select("url", "shares", "pub_ms"), self.now_ms, self.n_buckets
+        )
+        bloom = build_bloom(seen) if self.use_bloom else None
+        new_urls = filter_unseen(cand, seen, bloom).persist()
+        n_new = new_urls.count()
+
+        # 6. commit (documents → seen → frontier → metrics; a crash
+        # between commits re-runs the iteration from the frontier
+        # snapshot — idempotent because the seen gate re-filters)
+        self.documents.append(doc_rows)
+        self.seen.append(
+            new_urls.select(
+                "url_hash",
+                "bucket",
+                "canonical_url",
+                F.lit(iteration + 1).alias("first_seen_iter"),
+            )
+        )
+        self.frontier.overwrite(remaining.unionByName(new_urls))
+        lineage = _partition_lineage(claimed, iteration, "claimed").unionByName(
+            _partition_lineage(new_urls, iteration, "scheduled")
+        )
+        self.metrics.append(lineage)
+
+        claimed.unpersist()
+        fetched.unpersist()
+        new_urls.unpersist()
+        return {
+            "iteration": iteration,
+            "claimed": n_claimed,
+            "mime_rejected": n_mime_rejected,
+            "fetch_missing": n_missing,
+            "scheduled": n_new,
+            "done": False,
+        }
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        pages: DataFrame,
+        robots: DataFrame,
+        max_iterations: int = 10,
+        start_iteration: int = 0,
+    ) -> list[dict]:
+        redirects = pages.filter(F.col("redirect_to").isNotNull()).select(
+            F.col("url").alias("src_url"), F.col("redirect_to").alias("dst_url")
+        )
+        stats = []
+        for it in range(start_iteration, start_iteration + max_iterations):
+            s = self.run_iteration(pages, robots, redirects, it)
+            stats.append(s)
+            if s.get("done"):
+                break
+        return stats
+
+    # ------------------------------------------------------------------
+    def crawl_log(self) -> DataFrame:
+        """The defined crawl order: (iteration asc, crawl_order asc) over
+        fetched documents — the parity artifact golden tests compare."""
+        return self.documents.read(self.spark).select(
+            "iteration", "crawl_order", "source_url", "doc_id", "score"
+        ).orderBy("iteration", "crawl_order")
+
+
+def bench_crawl_iteration(spark: SparkSession, n_pages: int = 200_000) -> dict:
+    """north_rule throughput probe: run politeness-budgeted iterations
+    over a generated n_pages web, report (fetched+scheduled) URLs/sec."""
+    import tempfile
+
+    pages = generate_pages(spark, n_pages).persist()
+    pages.count()  # materialize the web outside the timed window
+    robots = generate_robots(spark)
+    seeds = generate_seeds(spark, n_pages, 64)
+    with tempfile.TemporaryDirectory(prefix="crawl_bench_") as root:
+        loop = CrawlLoop(spark, root)
+        loop.init(seeds, pages.select("url", "shares", "pub_ms"))
+        t0 = time.perf_counter()
+        stats = loop.run(pages, robots, max_iterations=3)
+        dt = time.perf_counter() - t0
+        urls = sum(s.get("claimed", 0) + s.get("scheduled", 0) for s in stats)
+    pages.unpersist()
+    return {"urls": urls, "seconds": dt, "urls_per_sec": urls / max(dt, 1e-9)}

@@ -1,0 +1,128 @@
+"""Frontier scheduling: per-host priority + politeness + robots.
+
+Reference semantics being re-expressed:
+- RankerBolt.java:44,65-67,106-108 — a shared ``PriorityQueue<WebPage>``
+  drained highest-score-first by racing threads. The *intended* order is
+  score-descending; the accidental thread interleaving is not
+  reproducible, so our engine defines crawl order as the deterministic
+  sort (score desc, url_hash asc) — SURVEY §3.4.
+- WebPageFetcherBolt.java:82-84 — HTTP pool ``maxPerRoute=10`` is the
+  reference's de-facto per-host politeness cap; we make it an explicit
+  per-iteration host quota derived from each host's crawl delay.
+- Robots: the reference has none (SURVEY §2.12); north_rule requires it.
+  A per-host ``disallow_prefixes`` table is broadcast-joined and applied
+  as an ``exists()`` predicate — pure column ops.
+
+Scale design (10^10-URL frontier): per-host top-k via a single global
+``Window.partitionBy(host)`` hot-spots on skewed hosts (one task gets
+37% of rows in our synthetic web). The claim is therefore two-phase
+**salted top-k**: rank within (host, salt) first — salt =
+pmod(url_hash, N_SALTS) spreads a hot host over N_SALTS tasks — keep at
+most ``quota`` rows per (host, salt), then re-rank the ≤ quota*N_SALTS
+survivors per host. Exact (a row in the true per-host top-quota is in
+the top-quota of its salt lane) and skew-free: no task ever sorts more
+than hostshare/N_SALTS of the frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+MAX_PER_ROUTE = 10  # WebPageFetcherBolt.java:84
+ITER_WINDOW_MS = 1000  # politeness accounting window per iteration
+N_SALTS = 8
+MAX_URL_LENGTH = 300  # ArticleExtractionBolt.java:230
+
+
+def host_quota(crawl_delay_ms) -> F.Column:
+    """URLs claimable from one host in one iteration window.
+
+    delay=0 → MAX_PER_ROUTE (the reference's pool cap); otherwise the
+    number of politeness delays that fit in the window, min 1.
+    """
+    return F.least(
+        F.lit(MAX_PER_ROUTE),
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(ITER_WINDOW_MS) / F.greatest(crawl_delay_ms, F.lit(1))
+            ).cast("int"),
+        ),
+    ).cast("int")
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop robots-disallowed URLs. robots(host, disallow_prefixes,
+    crawl_delay_ms) is tiny (one row per host) → broadcast join."""
+    joined = frontier.join(broadcast(robots), "host", "left")
+    allowed = ~F.coalesce(
+        F.exists(
+            F.col("disallow_prefixes"),
+            lambda p: F.col("path").startswith(p),
+        ),
+        F.lit(False),
+    )
+    return joined.filter(allowed).withColumn(
+        "crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+    ).drop("disallow_prefixes")
+
+
+def claim_batch(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One politeness-budgeted claim: (claimed, remaining).
+
+    frontier carries (url, canonical_url, url_hash, host, path, score, ...).
+    Claimed rows get ``crawl_order`` — the defined deterministic order
+    (score desc, url_hash asc) within the iteration.
+    """
+    f = apply_robots(frontier, robots).withColumn(
+        "_quota", host_quota(F.col("crawl_delay_ms"))
+    )
+
+    order = [F.desc("score"), F.asc("url_hash")]
+    # phase 1: rank inside (host, salt) — skew-proof partial top-k
+    salt = F.pmod(F.col("url_hash"), F.lit(N_SALTS))
+    w1 = Window.partitionBy("host", salt).orderBy(*order)
+    survivors = (
+        f.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= F.col("_quota"))
+        .drop("_rn1")
+    )
+    # phase 2: exact per-host top-quota over ≤ quota*N_SALTS survivors
+    w2 = Window.partitionBy("host").orderBy(*order)
+    claimed = (
+        survivors.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.col("_quota"))
+        .drop("_rn2", "_quota", "crawl_delay_ms")
+    )
+    claimed = claimed.withColumn(
+        "crawl_order",
+        F.row_number().over(Window.orderBy(*order)),
+    )
+    remaining = frontier.join(
+        claimed.select("url_hash"), "url_hash", "left_anti"
+    )
+    return claimed, remaining
+
+
+def expand_redirects(
+    df: DataFrame, redirects: DataFrame, url_col: str = "url", max_hops: int = 4
+) -> DataFrame:
+    """Follow redirect chains up to max_hops (URLExpansionBolt.java:30
+    ``max_redirects=4``). redirects(src_url, dst_url) is the offline
+    stand-in for live Location-header following; each hop is one
+    equi-join (broadcast when small, shuffle-hash otherwise — AQE picks).
+    """
+    out = df.withColumn("expanded_url", F.col(url_col))
+    for _ in range(max_hops):
+        out = (
+            out.join(
+                redirects.withColumnRenamed("src_url", "expanded_url"),
+                "expanded_url",
+                "left",
+            )
+            .withColumn("expanded_url", F.coalesce(F.col("dst_url"), F.col("expanded_url")))
+            .drop("dst_url")
+        )
+    return out.filter(F.length("expanded_url") <= MAX_URL_LENGTH)

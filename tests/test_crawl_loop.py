@@ -1,0 +1,120 @@
+"""Golden end-to-end crawl: CrawlLoop vs the pure-Python simulator.
+
+The five parity criteria from BASELINE.json exercised here: exact crawl
+order (defined sort), exact URL-seen set, politeness quota honored,
+robots honored, resume-from-snapshot equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mklab_focused_crawler_spark.operators.crawl import (
+    DEFAULT_NOW_MS,
+    CrawlLoop,
+)
+from mklab_focused_crawler_spark.sources.synthetic_web import (
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+)
+
+from tests.crawl_simulator import host_of, simulate
+
+N_PAGES = 250
+N_SEEDS = 10
+MAX_ITERS = 5
+
+
+def _setup(spark):
+    pages = generate_pages(spark, N_PAGES).persist()
+    robots = generate_robots(spark)
+    seeds = generate_seeds(spark, N_PAGES, N_SEEDS)
+    return pages, robots, seeds
+
+
+def _simulate(spark, pages, robots, seeds, max_iters=MAX_ITERS):
+    page_rows = [r.asDict() for r in pages.collect()]
+    robot_rows = [r.asDict() for r in robots.collect()]
+    seed_urls = [r["url"] for r in seeds.collect()]
+    hash_rows = pages.select("url", F.xxhash64("url").alias("h")).collect()
+    url_hash = {r["url"]: r["h"] for r in hash_rows}
+    return simulate(
+        page_rows, robot_rows, seed_urls, url_hash, DEFAULT_NOW_MS, max_iters
+    )
+
+
+def _run_loop(spark, root, pages, robots, seeds, iters=MAX_ITERS, start=0):
+    loop = CrawlLoop(spark, str(root))
+    if start == 0:
+        loop.init(seeds, pages.select("url", "shares", "pub_ms"))
+    return loop, loop.run(pages, robots, max_iterations=iters, start_iteration=start)
+
+
+def test_crawl_order_and_seen_parity(spark, tmp_path):
+    pages, robots, seeds = _setup(spark)
+    sim = _simulate(spark, pages, robots, seeds)
+    loop, stats = _run_loop(spark, tmp_path / "a", pages, robots, seeds)
+
+    log = loop.crawl_log().collect()
+    got_order = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
+    want_order = sim["order"]
+    assert got_order == want_order, (
+        f"crawl order diverges at {next(i for i, (g, w) in enumerate(zip(got_order, want_order)) if g != w) if got_order != want_order and len(got_order) == len(want_order) else 'len'}: "
+        f"{len(got_order)} vs {len(want_order)} entries"
+    )
+
+    got_seen = {
+        r["canonical_url"] for r in loop.seen.read(spark).select("canonical_url").collect()
+    }
+    assert got_seen == sim["seen"]
+
+    # something actually happened
+    assert sum(s["claimed"] for s in stats) > 30
+    assert any(s.get("scheduled", 0) > 0 for s in stats)
+    pages.unpersist()
+
+
+def test_politeness_and_robots(spark, tmp_path):
+    pages, robots, seeds = _setup(spark)
+    sim = _simulate(spark, pages, robots, seeds)
+    robot_rows = {r["host"]: r.asDict() for r in robots.collect()}
+
+    # per-(iteration, host) claim counts never exceed the host quota
+    from tests.crawl_simulator import ITER_WINDOW_MS, MAX_PER_ROUTE
+
+    counts: dict[tuple[int, str], int] = {}
+    for it, u in sim["claims"]:
+        counts[(it, host_of(u))] = counts.get((it, host_of(u)), 0) + 1
+    for (it, h), c in counts.items():
+        delay = robot_rows.get(h, {}).get("crawl_delay_ms", 0) or 0
+        quota = min(MAX_PER_ROUTE, max(1, ITER_WINDOW_MS // max(delay, 1)))
+        assert c <= quota, f"host {h} iter {it}: {c} > quota {quota}"
+
+    # robots: no fetched doc under a disallowed prefix
+    for it, doc, src, rank in sim["order"]:
+        prefixes = robot_rows.get(host_of(src), {}).get("disallow_prefixes") or []
+        path = src.split(".test", 1)[1]
+        assert not any(path.startswith(p) for p in prefixes), src
+    # the disallow rule actually bites somewhere in this web
+    assert any((r["disallow_prefixes"] or []) for r in robot_rows.values())
+    pages.unpersist()
+
+
+def test_resume_from_snapshot(spark, tmp_path):
+    pages, robots, seeds = _setup(spark)
+    # uninterrupted run
+    loop_a, _ = _run_loop(spark, tmp_path / "full", pages, robots, seeds, iters=4)
+    # interrupted at iteration 2, resumed by a fresh CrawlLoop instance
+    loop_b, _ = _run_loop(spark, tmp_path / "part", pages, robots, seeds, iters=2)
+    loop_b2 = CrawlLoop(spark, str(tmp_path / "part"))
+    assert loop_b2.completed_iterations() == 2
+    loop_b2.run(pages, robots, max_iterations=2, start_iteration=2)
+
+    a = [tuple(r) for r in loop_a.crawl_log().collect()]
+    b = [tuple(r) for r in loop_b2.crawl_log().collect()]
+    assert a == b
+    sa = sorted(r["canonical_url"] for r in loop_a.seen.read(spark).collect())
+    sb = sorted(r["canonical_url"] for r in loop_b2.seen.read(spark).collect())
+    assert sa == sb
+    pages.unpersist()
