@@ -55,7 +55,7 @@ def main() -> None:
     try:
         from mklab_focused_crawler_spark.operators.crawl import bench_crawl_iteration
 
-        crawl = bench_crawl_iteration(spark, n_pages=200_000)
+        crawl = bench_crawl_iteration(spark)
         timings["crawl_iteration"] = round(crawl["seconds"], 3)
     except ImportError:
         pass

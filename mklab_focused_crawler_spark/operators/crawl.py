@@ -61,6 +61,10 @@ from .seen import build_bloom, filter_unseen, first_seen_wins, with_seen_key
 
 DEFAULT_NOW_MS = BASE_MS + 86_400_000  # fixed "now": 2024-01-02T00:00:00Z
 N_BUCKETS_DEFAULT = 32
+# Below this bloom size the per-bucket filters are collected+broadcast so
+# the seen-prune never shuffles candidates; above it (≈10^9+ seen keys)
+# the cogroup-by-bucket path takes over. See operators/seen.filter_unseen.
+BROADCAST_BLOOM_MAX_BYTES = 256 << 20
 
 
 def prepare_candidates(
@@ -129,6 +133,7 @@ class CrawlLoop:
         self.seen = SnapshotTable(root, "seen")
         self.documents = SnapshotTable(root, "documents")
         self.metrics = SnapshotTable(root, "metrics")
+        self._n_seen: int | None = None  # tracked to size the bloom strategy
 
     # ------------------------------------------------------------------
     def init(self, seeds: DataFrame, pages_meta: DataFrame) -> None:
@@ -147,6 +152,7 @@ class CrawlLoop:
                 "url_hash", "bucket", "canonical_url", F.lit(0).alias("first_seen_iter")
             )
         )
+        self._n_seen = self.seen.read(self.spark).count()
 
     def completed_iterations(self) -> int:
         if not self.metrics.exists():
@@ -188,10 +194,14 @@ class CrawlLoop:
             "left",
         ).persist()
         ok = fetched.filter(F.col("mime") == "text/html")
-        n_mime_rejected = fetched.filter(
-            F.col("mime").isNotNull() & (F.col("mime") != "text/html")
-        ).count()
-        n_missing = fetched.filter(F.col("mime").isNull()).count()
+        reject_row = fetched.agg(
+            F.sum(
+                (F.col("mime").isNotNull() & (F.col("mime") != "text/html")).cast("int")
+            ).alias("mime_rejected"),
+            F.sum(F.col("mime").isNull().cast("int")).alias("missing"),
+        ).collect()[0]
+        n_mime_rejected = int(reject_row["mime_rejected"] or 0)
+        n_missing = int(reject_row["missing"] or 0)
 
         # 4. extract spans; rejoin crawl metadata by the *source* url_hash
         # (unique per claimed row — two claims can share a final_url when
@@ -225,9 +235,17 @@ class CrawlLoop:
         cand = prepare_candidates(
             links, pages.select("url", "shares", "pub_ms"), self.now_ms, self.n_buckets
         )
+        if self._n_seen is None:
+            self._n_seen = seen.count()  # resume path: one-time recount
         bloom = build_bloom(seen) if self.use_bloom else None
-        new_urls = filter_unseen(cand, seen, bloom).persist()
+        use_broadcast = (
+            self._n_seen * 1.2 * 12 / 8  # keys → approx filter bytes
+        ) <= BROADCAST_BLOOM_MAX_BYTES
+        new_urls = filter_unseen(
+            cand, seen, bloom, broadcast_bloom=use_broadcast
+        ).persist()
         n_new = new_urls.count()
+        self._n_seen += n_new
 
         # 6. commit (documents → seen → frontier → metrics; a crash
         # between commits re-runs the iteration from the frontier
@@ -267,8 +285,12 @@ class CrawlLoop:
         max_iterations: int = 10,
         start_iteration: int = 0,
     ) -> list[dict]:
-        redirects = pages.filter(F.col("redirect_to").isNotNull()).select(
-            F.col("url").alias("src_url"), F.col("redirect_to").alias("dst_url")
+        redirects = (
+            pages.filter(F.col("redirect_to").isNotNull())
+            .select(
+                F.col("url").alias("src_url"), F.col("redirect_to").alias("dst_url")
+            )
+            .persist()  # read 4x/iteration by the hop joins
         )
         stats = []
         for it in range(start_iteration, start_iteration + max_iterations):
@@ -276,6 +298,7 @@ class CrawlLoop:
             stats.append(s)
             if s.get("done"):
                 break
+        redirects.unpersist()
         return stats
 
     # ------------------------------------------------------------------
@@ -287,20 +310,30 @@ class CrawlLoop:
         ).orderBy("iteration", "crawl_order")
 
 
-def bench_crawl_iteration(spark: SparkSession, n_pages: int = 200_000) -> dict:
+def bench_crawl_iteration(
+    spark: SparkSession,
+    n_pages: int = 100_000,
+    n_hosts: int = 500,
+    n_seeds: int = 2000,
+    iterations: int = 3,
+) -> dict:
     """north_rule throughput probe: run politeness-budgeted iterations
-    over a generated n_pages web, report (fetched+scheduled) URLs/sec."""
+    over a generated n_pages web, report (fetched+scheduled) URLs/sec.
+
+    n_hosts sets the politeness ceiling (≤ MAX_PER_ROUTE per host per
+    iteration); 500 hosts ≈ up to 5k claims/iteration — enough to expose
+    engine overhead rather than the (intentional) politeness wait."""
     import tempfile
 
-    pages = generate_pages(spark, n_pages).persist()
+    pages = generate_pages(spark, n_pages, n_hosts).persist()
     pages.count()  # materialize the web outside the timed window
-    robots = generate_robots(spark)
-    seeds = generate_seeds(spark, n_pages, 64)
+    robots = generate_robots(spark, n_hosts)
+    seeds = generate_seeds(spark, n_pages, n_seeds, n_hosts)
     with tempfile.TemporaryDirectory(prefix="crawl_bench_") as root:
         loop = CrawlLoop(spark, root)
         loop.init(seeds, pages.select("url", "shares", "pub_ms"))
         t0 = time.perf_counter()
-        stats = loop.run(pages, robots, max_iterations=3)
+        stats = loop.run(pages, robots, max_iterations=iterations)
         dt = time.perf_counter() - t0
         urls = sum(s.get("claimed", 0) + s.get("scheduled", 0) for s in stats)
     pages.unpersist()

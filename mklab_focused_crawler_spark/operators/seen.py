@@ -106,16 +106,65 @@ def build_bloom(seen: DataFrame) -> DataFrame:
     )
 
 
-def filter_unseen(candidates: DataFrame, seen: DataFrame, bloom: DataFrame | None) -> DataFrame:
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: DataFrame | None,
+    broadcast_bloom: bool = False,
+) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is not in ``seen``.
 
     candidates must carry (url_hash, bucket). With a bloom, definite
     misses skip the anti-join; hits are confirmed exactly.
+
+    Two physical strategies, picked by the caller's size knowledge:
+    - ``broadcast_bloom=True``: collect the per-bucket filters (small —
+      up to a few hundred MB of bits) and probe them in a narrow scalar
+      pandas UDF — the candidates are **never shuffled** for the prune.
+      Right whenever total bloom bytes fit in executor memory
+      (≲10^9 seen keys at 12 bits/key).
+    - cogroup (default): candidates shuffle by ``bucket`` to meet their
+      bucket's filter — the only option when the filters themselves are
+      too big to broadcast (the 10^10-key design point).
     """
     if bloom is None:
         return candidates.join(
             seen.select("url_hash"), "url_hash", "left_anti"
         )
+
+    if broadcast_bloom:
+        spark = candidates.sparkSession
+        table = {
+            int(r["bucket"]): (int(r["nbits"]), np.frombuffer(r["bits"], np.uint8))
+            for r in bloom.collect()
+        }
+        bc = spark.sparkContext.broadcast(table)
+
+        @F.pandas_udf("boolean")
+        def might(url_hash: pd.Series, bucket: pd.Series) -> pd.Series:
+            tbl = bc.value
+            h = url_hash.to_numpy().astype(np.uint64)
+            b = bucket.to_numpy()
+            out = np.zeros(len(h), dtype=bool)
+            for bk in np.unique(b):
+                ent = tbl.get(int(bk))
+                if ent is None:
+                    continue
+                nbits, arr = ent
+                m = b == bk
+                pos = _positions(h[m], nbits)
+                out[m] = (
+                    (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+                ).all(axis=1)
+            return pd.Series(out)
+
+        checked = candidates.withColumn(
+            "might_contain", might(F.col("url_hash"), F.col("bucket"))
+        )
+        definite_new = checked.filter(~F.col("might_contain")).drop("might_contain")
+        maybe = checked.filter(F.col("might_contain")).drop("might_contain")
+        confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return definite_new.unionByName(confirmed_new)
 
     def check(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
         if len(cand) == 0:
