@@ -17,11 +17,12 @@ from mklab_focused_crawler_spark.operators.spans import (
     spans_stats_oracle_sql,
 )
 from mklab_focused_crawler_spark.operators.terms import top_terms_per_source
+from mklab_focused_crawler_spark.operators import dedup, similarity
+from mklab_focused_crawler_spark.functions import scoring, text, urls
 from mklab_focused_crawler_spark.functions.text import (
     STOPWORDS,
     TOKEN_SPLIT_RE,
 )
-from mklab_focused_crawler_spark.functions import scoring, urls
 from mklab_focused_crawler_spark.sources.tables import load_table
 
 from pyspark.sql import functions as F
@@ -133,11 +134,81 @@ def _q_page_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---- dedup suite (operators/dedup.py) -----------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(corpus)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
+    return dedup.lsh_pairs(corpus)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(corpus)
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
+    return dedup.duplicate_clusters(spark, corpus)
+
+
+# ---- similarity search (operators/similarity.py) -------------------------
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---- text analysis (functions/text.py) -----------------------------------
+
+
+def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("int").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+        text.lang_id("text").alias("lang_pred"),
+        text.fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_TEXT_ANALYSIS_SQL = f"""
+    SELECT doc_id,
+           CAST(len({text.tokenize_sql("text")}) AS INT) AS n_tokens,
+           {text.quality_score_sql("text")} AS quality,
+           {text.lang_id_sql("text")} AS lang_pred,
+           {text.fingerprint_sql("text")} AS fingerprint
+    FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_source": _q_top_terms,
     "spans_stats": _q_spans_stats,
     "url_layer": _q_url_layer,
     "page_score": _q_page_score,
+    "dedup_exact": _q_dedup_exact,
+    "minhash_lsh_pairs": _q_minhash_lsh,
+    "simhash_pairs": _q_simhash,
+    "duplicate_clusters": _q_dup_clusters,
+    "cosine_topk": _q_cosine_topk,
+    "ann_topk": _q_ann_topk,
+    "embedding_near_dups": _q_embedding_near_dups,
+    "text_analysis": _q_text_analysis,
 }
 
 ORACLES: dict[str, str] = {
@@ -177,6 +248,14 @@ ORACLES: dict[str, str] = {
                round({scoring.shares_score_sql("user_id")}, 9) AS shares_score
         FROM events ORDER BY event_id
     """,
+    "dedup_exact": dedup.exact_dedup_sql(),
+    "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
+    "simhash_pairs": dedup.simhash_pairs_sql(),
+    "duplicate_clusters": dedup.duplicate_clusters_sql(),
+    "cosine_topk": similarity.cosine_topk_sql(),
+    "ann_topk": similarity.ann_topk_sql(),
+    "embedding_near_dups": similarity.embedding_near_dups_sql(),
+    "text_analysis": _TEXT_ANALYSIS_SQL,
 }
 
 

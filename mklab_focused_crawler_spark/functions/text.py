@@ -132,11 +132,14 @@ def lang_id(text: Column | str) -> Column:
     (count, -rank) — SQL-expressible both sides.
     """
     toks = tokenize(text)
+
+    def contains_fn(ws):
+        # closure, not lambda-default: PySpark reads lambda arity and
+        # would treat a defaulted arg as a second lambda variable
+        return lambda t: F.array_contains(F.lit(ws), t)
+
     scores = [
-        (
-            code,
-            F.size(F.filter(toks, lambda t, ws=ws: F.array_contains(F.lit(ws), t))),
-        )
+        (code, F.size(F.filter(toks, contains_fn(ws))))
         for code, ws in LANG_MARKERS.items()
     ]
     # build: greatest count wins; ties broken by list order (first wins)

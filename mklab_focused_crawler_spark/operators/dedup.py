@@ -1,0 +1,472 @@
+"""Deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+connected-component duplicate clusters.
+
+Reference parity: the visual near-duplicate path — feature vector →
+kNN ≥ threshold → incremental cluster (VisualIndexerBolt.java:104-188,
+VisualClustererBolt.java:79-144, ClustererBolt.java:126-152). Per
+SURVEY §2.8 the north-star swaps the external visual-index service for
+**MinHash-signature LSH over content**, and the Redis-incremental
+clustering for deterministic connected components with cluster id =
+min(doc_id) (replacing ``UUID.randomUUID``, VisualClustererBolt.java:
+127,132).
+
+Every kernel is built-in column expressions (transform / array_min /
+bit ops) with a DuckDB twin — zero Python in the hot path. The LSH
+self-join shuffles on (band_idx, band_key): at 100 TB that is the only
+exchange, candidate volume is O(sum of bucket sizes²) and controlled by
+the band/row trade-off, and the verify stage touches only candidate
+pairs — never the O(n²) cross product.
+
+Because the driver's fixture corpus is all-distinct, queries run over a
+deterministically **augmented corpus** (exact copies of doc_id%13==0,
+mutated near-copies of doc_id%7==0) built identically in both engines —
+so the dedup operators provably find a known duplicate structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..functions.text import ngrams, ngrams_sql, tokenize, tokenize_sql
+
+# MinHash parameters: K = BANDS * ROWS; LSH threshold ≈ (1/BANDS)^(1/ROWS) ≈ 0.71
+K_HASHES = 16
+BANDS = 4
+ROWS = 4
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime): permutation modulus
+SHINGLE_N = 2
+JACCARD_THRESHOLD = 0.5  # verify gate on LSH candidates
+
+# deterministic permutation coefficients (fixed literals on both engines);
+# a_i*(h mod P) < 2^21 * 2^31 = 2^52 — no int64 overflow either engine.
+COEF_A = [((i * 2654435761) % 1_000_003) + 1 for i in range(K_HASHES)]
+COEF_B = [((i * 40503 + 17) % 1_000_033) for i in range(K_HASHES)]
+
+SIMHASH_BITS = 32
+SIM_BANDS = 4  # 8 bits each
+MAX_HAMMING = 3
+
+EXACT_MOD = 13
+NEAR_MOD = 7
+DUP_OFFSET = 1_000_000
+NEAR_TAIL = " near duplicate tail"
+
+
+# ---------------------------------------------------------------------------
+# augmented corpus (identical construction in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def augment_corpus(documents: DataFrame) -> DataFrame:
+    """documents + exact copies (%13) + mutated near-copies (%7)."""
+    base = documents.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    exact = base.filter(F.col("doc_id") % EXACT_MOD == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % NEAR_MOD == 0).select(
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def augment_corpus_sql() -> str:
+    return f"""(
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id % {EXACT_MOD} = 0
+        UNION ALL
+        SELECT doc_id + {2 * DUP_OFFSET}, text || '{NEAR_TAIL}' FROM documents
+        WHERE doc_id % {NEAR_MOD} = 0
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy on normalized text
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, canonical_doc_id, dup_count); canonical =
+    min(doc_id) per content hash — first-seen-wins parity
+    (StatusCheckBolt semantics applied to content instead of URL)."""
+    hashed = corpus.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+    )
+    groups = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return (
+        hashed.join(groups, "text_hash")
+        .select("doc_id", "text_hash", "canonical_doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        hashed AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM corpus),
+        groups AS (
+            SELECT text_hash, min(doc_id) AS canonical_doc_id,
+                   count(*) AS dup_count
+            FROM hashed GROUP BY text_hash
+        )
+        SELECT h.doc_id, h.text_hash, g.canonical_doc_id, g.dup_count
+        FROM hashed h JOIN groups g USING (text_hash)
+        ORDER BY h.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded LSH + Jaccard-verified pairs
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(text_col) -> F.Column:
+    """Distinct SHINGLE_N-gram shingles → portable 60-bit hashes."""
+    sh = F.array_distinct(ngrams(tokenize(text_col), SHINGLE_N))
+    return F.transform(sh, hash64)
+
+
+def shingle_hashes_sql(expr: str) -> str:
+    sh = f"list_distinct({ngrams_sql(tokenize_sql(expr), SHINGLE_N)})"
+    return f"list_transform({sh}, s -> {hash64_sql('s')})"
+
+
+def _perm_fn(a: int, b: int):
+    # closure factory: PySpark introspects lambda arity, so default-arg
+    # tricks would miscount as extra parameters
+    return lambda h: (a * F.pmod(h, F.lit(MINHASH_P)) + b) % MINHASH_P
+
+
+def minhash_signature(hashes_col) -> F.Column:
+    """K_HASHES-wide signature: sig_i = min((a_i*(h mod P)+b_i) mod P).
+    Empty docs get the P sentinel in every lane."""
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(hashes_col, _perm_fn(COEF_A[i], COEF_B[i]))),
+                F.lit(MINHASH_P),
+            )
+            for i in range(K_HASHES)
+        ]
+    )
+
+
+def minhash_signature_sql(hashes_expr: str) -> str:
+    lanes = []
+    for i in range(K_HASHES):
+        a, b = COEF_A[i], COEF_B[i]
+        lanes.append(
+            f"coalesce(list_min(list_transform({hashes_expr}, "
+            f"h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P})), {MINHASH_P})"
+        )
+    return "[" + ", ".join(lanes) + "]"
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    return corpus.select(
+        "doc_id",
+        shingle_hashes(F.col("text")).alias("shingles"),
+    ).select("doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig"))
+
+
+def lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """Jaccard-verified near-duplicate pairs via banded LSH.
+
+    explode(bands) → self-join on (band_idx, band_key) → distinct pairs
+    → exact Jaccard on shingle sets → threshold. Only candidate pairs
+    are verified (never the cross product)."""
+    sigs = minhash_signatures(corpus)
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), j * ROWS + 1, ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        "-",
+                    )
+                    for j in range(BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_idx",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def lsh_pairs_sql() -> str:
+    hashes = shingle_hashes_sql("text")
+    sig = minhash_signature_sql("hh")
+    band_keys = ", ".join(
+        # DuckDB 1-based inclusive slice sig[s:e]
+        f"array_to_string(list_transform(sig[{j * ROWS + 1}:{(j + 1) * ROWS}], x -> CAST(x AS VARCHAR)), '-')"
+        for j in range(BANDS)
+    )
+    return f"""
+        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        sh AS (SELECT doc_id, {hashes} AS hh FROM corpus),
+        sigs AS (SELECT doc_id, hh, {sig} AS sig FROM sh),
+        bands AS (
+            SELECT doc_id, hh, band_idx, bks[band_idx] AS band_key
+            FROM (SELECT doc_id, hh, [{band_keys}] AS bks FROM sigs)
+            CROSS JOIN (SELECT unnest(generate_series(1, {BANDS})) AS band_idx) g
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(CASE WHEN len(list_distinct(list_concat(sa.hh, sb.hh))) > 0
+                         THEN len(list_intersect(sa.hh, sb.hh)) * 1.0
+                              / len(list_distinct(list_concat(sa.hh, sb.hh)))
+                         ELSE 0.0 END, 6) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM verified
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash + banded Hamming pairs
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col) -> F.Column:
+    """32-bit SimHash over the token multiset: bit b set iff
+    sum_tokens(bit_b(h(token)) ? +1 : -1) > 0."""
+    hh = F.transform(tokenize(text_col), hash64)
+
+    def vote_fn(bb: int):
+        # shiftright, not floor(h/2^b): double division loses exactness
+        # above 2^53 and 60-bit hashes exceed it
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bb) % 2 == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(hh, F.lit(0), vote_fn(b))
+        bits.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    total = bits[0]
+    for x in bits[1:]:
+        total = total + x
+    return total.cast("long")
+
+
+def simhash_sql(expr: str) -> str:
+    hh = f"list_transform({tokenize_sql(expr)}, t -> {hash64_sql('t')})"
+    parts = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({hh}, "
+            f"h -> CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"(CASE WHEN coalesce({vote}, 0) > 0 THEN {2**b} ELSE 0 END)")
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def simhash_pairs(corpus: DataFrame) -> DataFrame:
+    """Pairs within Hamming distance MAX_HAMMING, found via SIM_BANDS
+    8-bit band buckets (a pair ≤3 bits apart must agree on ≥1 band)."""
+    sh = corpus.select("doc_id", simhash(F.col("text")).alias("sh"))
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[F.shiftright(F.col("sh"), 8 * j) % 256 for j in range(SIM_BANDS)]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_sql() -> str:
+    sh = simhash_sql("text")
+    band_vals = ", ".join(f"(sh // {2 ** (8 * j)}) % 256" for j in range(SIM_BANDS))
+    return f"""
+        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        shs AS (SELECT doc_id, {sh} AS sh FROM corpus),
+        bands AS (
+            SELECT doc_id, sh, band_idx, bvs[band_idx] AS band_val
+            FROM (SELECT doc_id, sh, [{band_vals}] AS bvs FROM shs)
+            CROSS JOIN (SELECT unnest(generate_series(1, {SIM_BANDS})) AS band_idx) g
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sh_a,
+                            b.doc_id AS doc_b, b.sh AS sh_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# connected-component duplicate clusters (iterative; deterministic ids)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for docs in any duplicate relation; cluster
+    id = min(doc_id) in the component (deterministic — replaces the
+    reference's UUID cluster ids, VisualClustererBolt.java:127,132).
+
+    Edges = exact-dup groups ∪ Jaccard-verified LSH pairs. Iterative
+    min-label propagation: O(log n) join rounds, each a shuffle on
+    doc_id — no driver-side graph.
+    """
+    exact = exact_dedup(corpus)
+    e1 = exact.filter(F.col("dup_count") > 1).select(
+        F.col("doc_id").alias("a"), F.col("canonical_doc_id").alias("b")
+    )
+    near = lsh_pairs(corpus).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = (
+        e1.unionByName(near)
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    # bidirectional adjacency
+    adj = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates(["a", "b"])
+
+    labels = (
+        adj.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # ≥ log2(n) rounds; tiny diameters in practice
+        neighbor_min = (
+            adj.join(labels, adj["b"] == labels["doc_id"])
+            .groupBy(adj["a"])
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+    edges.unpersist()
+    return out
+
+
+def duplicate_clusters_sql() -> str:
+    """DuckDB oracle via recursive transitive closure (fine at fixture
+    scale; the Spark path is the one designed for 10^10)."""
+    return f"""
+        WITH RECURSIVE corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        hashed AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM corpus),
+        exact_edges AS (
+            SELECT h.doc_id AS a, g.canonical AS b
+            FROM hashed h JOIN (
+                SELECT text_hash, min(doc_id) AS canonical, count(*) AS c
+                FROM hashed GROUP BY text_hash
+            ) g USING (text_hash)
+            WHERE g.c > 1 AND h.doc_id <> g.canonical
+        ),
+        near_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM ({lsh_pairs_sql()})
+        ),
+        edges AS (
+            SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges
+            UNION SELECT b, a FROM exact_edges UNION SELECT b, a FROM near_edges
+        ),
+        reach AS (
+            SELECT a AS src, b AS dst FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id
+    """

@@ -1,0 +1,343 @@
+"""Similarity search over an embedding column (array<float>):
+brute-force cosine top-k (baseline) and hyperplane-LSH bucketed ANN
+(the scale path), plus embedding-cosine near-duplicate pairs.
+
+Reference parity: VisualIndexerBolt.java:104-188 — image → 1024-dim
+vector → external kNN service at similarity ≥ 0.85 → nearest id. Our
+engine replaces the per-tuple RPC with set-oriented joins: the
+brute-force path is a probe×corpus join (exact, the oracle), the LSH
+path buckets vectors by random-hyperplane sign bits so candidate
+generation is an equi-join on bucket — O(n·bucket_size) instead of
+O(n²) — exactly how the external service's index amortized its kNN.
+
+Determinism across engines: vectors are quantized to integers
+(q = round(x·1000)) and *ranking/thresholding is done on exact integer
+dot products* — floating-point ulp differences between JVM and DuckDB
+can never flip an ordering or a threshold. The reported ``cosine`` is a
+display value derived from the same integers.
+
+Scale: at 10^8+ vectors the probe side broadcasts (probes are few) so
+the brute-force scan is shuffle-free; the LSH path shuffles once on
+``bucket``. All kernels are built-in column expressions (zip_with /
+aggregate); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+SCALE = 1000  # quantization: q = round(x * SCALE)
+N_PLANES = 8  # LSH: 2^8 = 256 buckets
+DIM = 64
+TOP_K = 5
+PROBE_MOD = 50  # probe set = vec_id % PROBE_MOD == 0
+# cosine threshold as an exact ratio; 0.3 sits inside the fixture
+# corpus's similarity range (max same-bucket cosine ≈ 0.47) so the
+# operator returns a non-trivial, deterministic pair set
+NEAR_DUP_NUM, NEAR_DUP_DEN = 3, 10
+
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes, identical literals on both engines:
+    bit k of md5('plane-<p>-<d>') decides the sign."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"plane-{p}-{d}".encode()).digest()[0]
+            row.append(1 if h % 2 == 1 else -1)
+        planes.append(row)
+    return planes
+
+
+PLANES = _plane_weights()
+
+
+# ---------------------------------------------------------------------------
+# quantization + integer dot products
+# ---------------------------------------------------------------------------
+
+
+def quantized(emb_col) -> F.Column:
+    return F.transform(
+        emb_col, lambda x: F.round(x.cast("double") * SCALE).cast("long")
+    )
+
+
+def quantized_sql(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT))"
+
+
+def qdot(a_col, b_col) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def qdot_sql(a_expr: str, b_expr: str) -> str:
+    return (
+        f"CAST(coalesce(list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> ({a_expr})[i] * ({b_expr})[i])), 0) AS BIGINT)"
+    )
+
+
+def qnorm2(a_col) -> F.Column:
+    return qdot(a_col, a_col)
+
+
+def _cosine_display(qd, na2, nb2) -> F.Column:
+    return F.round(
+        F.when(
+            (na2 > 0) & (nb2 > 0),
+            qd.cast("double") / F.sqrt(na2.cast("double") * nb2.cast("double")),
+        ).otherwise(0.0),
+        6,
+    )
+
+
+def _cosine_display_sql(qd: str, na2: str, nb2: str) -> str:
+    return (
+        f"round(CASE WHEN {na2} > 0 AND {nb2} > 0 THEN "
+        f"CAST({qd} AS DOUBLE) / sqrt(CAST({na2} AS DOUBLE) * CAST({nb2} AS DOUBLE)) "
+        f"ELSE 0.0 END, 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (the exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Top-k neighbors per probe (vec_id % PROBE_MOD == 0) over the whole
+    corpus. Probe side broadcast → corpus scan stays shuffle-free; the
+    only wide op is the per-probe top-k (tiny: probes × corpus rows
+    reduced map-side by the window's rank pushdown)."""
+    q = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", qnorm2(F.col("q")))
+    probes = q.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("n2").alias("pn2"),
+    )
+    pairs = q.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        "vec_id",
+        qdot(F.col("pq"), F.col("q")).alias("dot_q"),
+        "pn2",
+        "n2",
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            "rank",
+            "dot_q",
+            _cosine_display(F.col("dot_q"), F.col("pn2"), F.col("n2")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def cosine_topk_sql(k: int = TOP_K) -> str:
+    q = quantized_sql("embedding")
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {q} AS q, {qdot_sql(q, q)} AS n2 FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, q AS pq, n2 AS pn2 FROM q
+            WHERE vec_id % {PROBE_MOD} = 0
+        ),
+        scored AS (
+            SELECT p.probe_id, q.vec_id,
+                   {qdot_sql("p.pq", "q.q")} AS dot_q, p.pn2, q.n2
+            FROM q CROSS JOIN probes p WHERE q.vec_id <> p.probe_id
+        )
+        SELECT probe_id, vec_id, rank, dot_q,
+               {_cosine_display_sql("dot_q", "pn2", "n2")} AS cosine
+        FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                        ORDER BY dot_q DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY probe_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# hyperplane-LSH bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def lsh_bucket(q_col) -> F.Column:
+    """Bucket id: bit p set iff <q, plane_p> >= 0."""
+    out = F.lit(0)
+    for p in range(N_PLANES):
+        s = qdot(q_col, F.lit(PLANES[p]))
+        out = out + F.when(s >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def lsh_bucket_sql(q_expr: str) -> str:
+    parts = []
+    for p in range(N_PLANES):
+        w = "[" + ", ".join(str(v) for v in PLANES[p]) + "]"
+        s = qdot_sql(q_expr, w)
+        parts.append(f"(CASE WHEN {s} >= 0 THEN {2**p} ELSE 0 END)")
+    return "CAST((" + " + ".join(parts) + ") AS INT)"
+
+
+def ann_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH
+    bucket. One shuffle on bucket; per-bucket work is bucket_size²
+    bounded — this is the 10^8-vector plan shape."""
+    q = (
+        embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+        .withColumn("n2", qnorm2(F.col("q")))
+        .withColumn("bucket", lsh_bucket(F.col("q")))
+    )
+    probes = q.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("n2").alias("pn2"),
+        "bucket",
+    )
+    pairs = q.join(probes, "bucket").filter(F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        "vec_id",
+        "bucket",
+        qdot(F.col("pq"), F.col("q")).alias("dot_q"),
+        "pn2",
+        "n2",
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            "bucket",
+            "rank",
+            "dot_q",
+            _cosine_display(F.col("dot_q"), F.col("pn2"), F.col("n2")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def ann_topk_sql(k: int = TOP_K) -> str:
+    q = quantized_sql("embedding")
+    return f"""
+        WITH qt AS (
+            SELECT vec_id, {q} AS q, {qdot_sql(q, q)} AS n2,
+                   {lsh_bucket_sql(q)} AS bucket
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, q AS pq, n2 AS pn2, bucket FROM qt
+            WHERE vec_id % {PROBE_MOD} = 0
+        ),
+        scored AS (
+            SELECT p.probe_id, t.vec_id, t.bucket,
+                   {qdot_sql("p.pq", "t.q")} AS dot_q, p.pn2, t.n2
+            FROM qt t JOIN probes p USING (bucket)
+            WHERE t.vec_id <> p.probe_id
+        )
+        SELECT probe_id, vec_id, bucket, rank, dot_q,
+               {_cosine_display_sql("dot_q", "pn2", "n2")} AS cosine
+        FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                        ORDER BY dot_q DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY probe_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (threshold, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
+    """Same-bucket pairs with cosine ≥ NEAR_DUP_NUM/NEAR_DUP_DEN. The
+    threshold test is the integer inequality
+    den²·dot² ≥ num²·|a|²·|b|² (dot > 0) — no float boundary effects."""
+    q = (
+        embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+        .withColumn("n2", qnorm2(F.col("q")))
+        .withColumn("bucket", lsh_bucket(F.col("q")))
+    )
+    a = q.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+        "bucket",
+    )
+    b = q.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    d = qdot(F.col("qa"), F.col("qb"))
+    keep = (d > 0) & (
+        F.lit(NEAR_DUP_DEN * NEAR_DUP_DEN) * d * d
+        >= F.lit(NEAR_DUP_NUM * NEAR_DUP_NUM) * F.col("na2") * F.col("nb2")
+    )
+    return (
+        pairs.withColumn("dot_q", d)
+        .filter(keep)
+        .select(
+            "id_a",
+            "id_b",
+            "dot_q",
+            _cosine_display(F.col("dot_q"), F.col("na2"), F.col("nb2")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dups_sql() -> str:
+    q = quantized_sql("embedding")
+    d = qdot_sql("a.qa", "b.qb")
+    return f"""
+        WITH qt AS (
+            SELECT vec_id, {q} AS q, {qdot_sql(q, q)} AS n2,
+                   {lsh_bucket_sql(q)} AS bucket
+            FROM embeddings
+        ),
+        a AS (SELECT vec_id AS id_a, q AS qa, n2 AS na2, bucket FROM qt),
+        b AS (SELECT vec_id AS id_b, q AS qb, n2 AS nb2, bucket FROM qt),
+        pairs AS (
+            SELECT a.id_a, a.na2, b.id_b, b.nb2, {d} AS dot_q
+            FROM a JOIN b USING (bucket) WHERE a.id_a < b.id_b
+        )
+        SELECT id_a, id_b, dot_q,
+               {_cosine_display_sql("dot_q", "na2", "nb2")} AS cosine
+        FROM pairs
+        WHERE dot_q > 0 AND {NEAR_DUP_DEN * NEAR_DUP_DEN} * dot_q * dot_q
+              >= {NEAR_DUP_NUM * NEAR_DUP_NUM} * na2 * nb2
+        ORDER BY id_a, id_b
+    """
