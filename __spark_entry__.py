@@ -17,7 +17,12 @@ from mklab_focused_crawler_spark.operators.spans import (
     spans_stats_oracle_sql,
 )
 from mklab_focused_crawler_spark.operators.terms import top_terms_per_source
-from mklab_focused_crawler_spark.operators import dedup, similarity
+from mklab_focused_crawler_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    trending,
+)
 from mklab_focused_crawler_spark.functions import scoring, text, urls
 from mklab_focused_crawler_spark.functions.text import (
     STOPWORDS,
@@ -209,6 +214,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": _q_ann_topk,
     "embedding_near_dups": _q_embedding_near_dups,
     "text_analysis": _q_text_analysis,
+    "rolling_top_events": lambda s, d: trending.rolling_top_events(
+        load_table(s, d, "events")
+    ),
+    "contributor_counts": lambda s, d: trending.contributor_counts(
+        load_table(s, d, "events")
+    ),
+    "idf_windows": lambda s, d: trending.idf_windows(load_table(s, d, "events")),
+    "detect_events": lambda s, d: trending.detect_events(load_table(s, d, "events")),
+    "media_pipeline": lambda s, d: multimodal.media_pipeline(
+        build_spans(load_table(s, d, "documents"))
+    ),
 }
 
 ORACLES: dict[str, str] = {
@@ -256,6 +272,11 @@ ORACLES: dict[str, str] = {
     "ann_topk": similarity.ann_topk_sql(),
     "embedding_near_dups": similarity.embedding_near_dups_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
+    "rolling_top_events": trending.rolling_top_events_sql(),
+    "contributor_counts": trending.contributor_counts_sql(),
+    "idf_windows": trending.idf_windows_sql(),
+    "detect_events": trending.detect_events_sql(),
+    "media_pipeline": multimodal.media_pipeline_sql(),
 }
 
 

@@ -67,7 +67,20 @@ def ngrams(tokens: Column, n: int) -> Column:
 
     DuckDB: list_transform(range(1, len(toks)-n+2), i ->
               array_to_string(toks[i:i+n-1], ' '))  -- 1-based inclusive slice
+
+    n=2 takes a zip_with fast path (tokens ⊗ tokens[2:]): one array
+    traversal instead of a slice+join per position — measurably faster
+    in codegen, identical output.
     """
+    if n == 2:
+        shifted = F.slice(tokens, 2, F.greatest(F.size(tokens) - 1, F.lit(0)))
+        pairs = F.zip_with(
+            tokens, shifted, lambda x, y: F.concat_ws(" ", x, y)
+        )
+        # zip_with pads the shorter side with null; concat_ws skips
+        # nulls, so the final element degenerates to just the last
+        # token — drop it by slicing to size-1
+        return F.slice(pairs, 1, F.greatest(F.size(tokens) - 1, F.lit(0)))
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(tokens, i, n), " "),

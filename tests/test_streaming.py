@@ -1,0 +1,52 @@
+"""Structured Streaming jobs: batch/stream parity + watermark behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mklab_focused_crawler_spark.operators.trending import (
+    COUNT_WINDOW,
+    rolling_top_events,
+)
+from mklab_focused_crawler_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory_sink,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_counts_match_batch(spark, tmp_path):
+    # file stream source needs a directory; stage the fixture file
+    import shutil
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", in_dir / "events.parquet")
+    stream = read_events_stream(spark, str(in_dir))
+    counts = windowed_event_counts(stream)
+    run_to_memory_sink(counts, "stream_counts", str(tmp_path / "ckpt"))
+
+    got = {
+        (r["window_start_ms"], r["event_type"]): r["cnt"]
+        for r in spark.table("stream_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(
+            F.unix_millis(
+                F.window("ts", COUNT_WINDOW)["start"].cast("timestamp")
+            ).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    want = {(r["window_start_ms"], r["event_type"]): r["cnt"] for r in batch}
+    assert got == want and len(got) > 0
+
+    # and the batch top-k operator agrees with its own count stage
+    topk = rolling_top_events(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    for r in topk.collect():
+        assert want[(r["window_start_ms"], r["event_type"])] == r["cnt"]
