@@ -201,6 +201,163 @@ _TEXT_ANALYSIS_SQL = f"""
 """
 
 
+# ---- span-sequence invariant (the BASELINE.json per-row invariant) -------
+
+
+def _q_span_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mklab_focused_crawler_spark.operators.spans import explode_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        explode_spans(build_spans(docs))
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+        .orderBy("doc_id", "offset")
+    )
+
+
+def _span_sequences_sql() -> str:
+    from mklab_focused_crawler_spark.operators.spans import (
+        BLOCK_TOKENS,
+        MEDIA_EVERY,
+        media_ref_sql,
+    )
+    from mklab_focused_crawler_spark.functions.text import tokenize_sql
+
+    toks = tokenize_sql("text")
+    n_text = f"CAST(ceil(len(toks) / {BLOCK_TOKENS}.0) AS INT)"
+    # offset of text block i = i + floor(i/MEDIA_EVERY) (media spans
+    # interleave after every MEDIA_EVERY-th block); the media span that
+    # follows block i sits at offset+1
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, {toks} AS toks
+            FROM documents
+        ),
+        blocks AS (
+            SELECT doc_id, toks, unnest(range(0, {n_text})) AS i FROM d
+        ),
+        text_spans AS (
+            SELECT doc_id,
+                   CAST(i + (i // {MEDIA_EVERY}) AS INT) AS "offset",
+                   'text' AS kind,
+                   array_to_string(toks[i*{BLOCK_TOKENS}+1 : (i+1)*{BLOCK_TOKENS}], ' ') AS text,
+                   '' AS media_ref
+            FROM blocks
+        ),
+        media_spans AS (
+            SELECT doc_id,
+                   CAST(i + (i // {MEDIA_EVERY}) + 1 AS INT) AS "offset",
+                   'media' AS kind, '' AS text,
+                   {media_ref_sql("doc_id", "i")} AS media_ref
+            FROM blocks WHERE i % {MEDIA_EVERY} = {MEDIA_EVERY - 1}
+        )
+        SELECT * FROM (
+            SELECT * FROM text_spans UNION ALL SELECT * FROM media_spans
+        ) ORDER BY doc_id, "offset"
+    """
+
+
+# ---- frontier claim (the scheduler itself, oracle-checked) ----------------
+
+_CLAIM_MAX_PER_ROUTE = 10
+_CLAIM_WINDOW_MS = 1000
+
+
+def _q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-budgeted per-host top-k claim over a deterministic
+    synthetic frontier derived from the documents table. The same
+    two-phase salted window math as operators/frontier.claim_batch,
+    with quota from a per-host hash-derived crawl delay."""
+    from pyspark.sql import Window
+
+    from mklab_focused_crawler_spark.functions.hashing import hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    f = docs.withColumn("url", _synth_url_col()).select(
+        "doc_id", "url", urls.url_host("url").alias("host")
+    )
+    # portable hash for the delay so DuckDB reproduces the quota; the
+    # in-engine crawl loop uses xxhash64 (operators/frontier.py) where
+    # cross-engine parity is not required
+    delay = (hash64(F.col("host")) % 5) * 100
+    quota = F.least(
+        F.lit(_CLAIM_MAX_PER_ROUTE),
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(_CLAIM_WINDOW_MS) / F.greatest(delay, F.lit(1))).cast(
+                "int"
+            ),
+        ),
+    ).cast("int")
+    score = scoring.shares_score((F.col("doc_id") % 100).cast("double"))
+    f = f.withColumn("score", F.round(score, 9)).withColumn("_quota", quota)
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        f.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= F.col("_quota"))
+        .select("doc_id", "url", "host", "score", "rank")
+        .orderBy("host", "rank")
+    )
+
+
+def _frontier_claim_sql() -> str:
+    from mklab_focused_crawler_spark.functions.hashing import hash64_sql
+
+    host = urls.url_host_sql("url")
+    hash64_sql_host = hash64_sql("host")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+        ),
+        f AS (
+            SELECT doc_id, url, {host} AS host,
+                   round({scoring.shares_score_sql("(doc_id % 100)")}, 9) AS score
+            FROM u
+        ),
+        q AS (
+            SELECT host,
+                   CAST(least({_CLAIM_MAX_PER_ROUTE}, greatest(1,
+                        {_CLAIM_WINDOW_MS} // greatest(({hash64_sql_host} % 5) * 100, 1)
+                   )) AS INT) AS quota
+            FROM (SELECT DISTINCT host FROM f)
+        )
+        SELECT doc_id, url, host, score, rank FROM (
+            SELECT f.doc_id, f.url, f.host, f.score,
+                   CAST(row_number() OVER (PARTITION BY f.host
+                        ORDER BY f.score DESC, f.doc_id ASC) AS INT) AS rank,
+                   q.quota
+            FROM f JOIN q USING (host)
+        ) WHERE rank <= quota
+        ORDER BY host, rank
+    """
+
+
+# ---- JSON ingress / deserialization (SURVEY §2.2) ------------------------
+
+
+def _q_json_ingress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deserialization-bolt family (WebPageDeserializationBolt.java:
+    41-52 et al: JSON string → typed record, drop parse failures) as
+    ``from_json`` + null filter over the events.props JSON column."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k int").alias("p"),
+    )
+    return (
+        parsed.filter(F.col("p").isNotNull())
+        .select("event_id", F.col("p.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+_JSON_INGRESS_SQL = """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE json_valid(props)
+    ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_source": _q_top_terms,
     "spans_stats": _q_spans_stats,
@@ -225,6 +382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_pipeline": lambda s, d: multimodal.media_pipeline(
         build_spans(load_table(s, d, "documents"))
     ),
+    "span_sequences": _q_span_sequences,
+    "frontier_claim": _q_frontier_claim,
+    "json_ingress": _q_json_ingress,
 }
 
 ORACLES: dict[str, str] = {
@@ -277,6 +437,9 @@ ORACLES: dict[str, str] = {
     "idf_windows": trending.idf_windows_sql(),
     "detect_events": trending.detect_events_sql(),
     "media_pipeline": multimodal.media_pipeline_sql(),
+    "span_sequences": _span_sequences_sql(),
+    "frontier_claim": _frontier_claim_sql(),
+    "json_ingress": _JSON_INGRESS_SQL,
 }
 
 

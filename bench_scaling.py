@@ -1,0 +1,115 @@
+"""Two-parallelism scaling bench (north_rule: throughput scaling
+efficiency ≥ 0.8 between N and 4N executors, evidenced in this sandbox
+by local[8] vs local[32] on the identical job + input).
+
+Usage:
+    python bench_scaling.py                 # run both levels, write BENCH/BASELINE.md
+    python bench_scaling.py --level 8       # one level, print JSON (subprocess mode)
+
+Each level runs in its own subprocess (fresh JVM — no cache/JIT bleed
+between levels). Protocol per BENCH/BASELINE.md: identical generated
+web (seed-deterministic), 1 warm-up iteration, 2 timed iterations;
+metric = (fetched + newly scheduled URLs) / wall-clock of the timed
+window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+LEVELS = (8, 32)
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "1000000"))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "10000"))
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "100000"))
+
+
+def run_level(cores: int) -> dict:
+    from mklab_focused_crawler_spark.operators.crawl import scaling_workload
+    from mklab_focused_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    out = scaling_workload(spark, N_PAGES, N_HOSTS, N_SEEDS)
+    out["cores"] = cores
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--level":
+        print(json.dumps(run_level(int(sys.argv[2]))))
+        return
+
+    results = {}
+    for cores in LEVELS:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--level", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]['urls_per_sec']} urls/s "
+              f"({results[cores]['urls']} urls in {results[cores]['seconds']}s)")
+
+    lo, hi = LEVELS
+    eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / (hi / lo)
+    summary = {
+        "metric": "crawl_urls_per_sec_scaling",
+        "workload": {"n_pages": N_PAGES, "n_hosts": N_HOSTS, "n_seeds": N_SEEDS},
+        f"local[{lo}]": results[lo],
+        f"local[{hi}]": results[hi],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    import platform
+
+    nproc = os.cpu_count()
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — crawl throughput & scaling (north_rule evidence)
+
+Protocol (BASELINE.md §4): identical deterministic synthetic web
+({N_PAGES:,} pages, {N_HOSTS:,} hosts, {N_SEEDS:,} seeds), identical
+politeness budget (≤10/host/iteration, per-host crawl delays from the
+robots table), one warm-up iteration, two timed iterations. Metric =
+(fetched + newly scheduled URLs) / wall-clock seconds of the timed
+window. Each level runs in a fresh JVM subprocess.
+
+Machine: {platform.platform()}, {nproc} CPUs. Spark local mode,
+`spark.sql.shuffle.partitions` = core count, AQE on.
+
+| level | URLs (timed) | seconds | URLs/sec |
+|---|---|---|---|
+| local[{lo}] | {results[lo]["urls"]:,} | {results[lo]["seconds"]} | {results[lo]["urls_per_sec"]} |
+| local[{hi}] | {results[hi]["urls"]:,} | {results[hi]["seconds"]} | {results[hi]["urls_per_sec"]} |
+
+**Scaling efficiency** = (throughput_{hi} / throughput_{lo}) / ({hi}/{lo})
+= **{eff:.3f}** (north_rule target ≥ 0.8).
+
+Commands:
+
+```
+python bench_scaling.py            # both levels + this file
+python bench_scaling.py --level 8  # single level, JSON line
+```
+
+Raw per-iteration stats:
+
+```json
+{json.dumps(results, indent=2)}
+```
+""")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -185,23 +185,28 @@ class CrawlLoop:
             "final_url", canonicalize_url(F.col("expanded_url"))
         )
 
-        # 3. fetch = join the page store on the expanded URL; MIME gate
+        # 3. fetch = INNER join of the (small, broadcastable) claimed
+        # batch against the page store on the expanded URL. Inner, not
+        # left: a left join forces the page store to the build/shuffle
+        # side — sort-merge-shuffling the whole web (html included)
+        # every iteration. Inner lets AQE broadcast the claimed side and
+        # stream the page scan in place; "missing" fetches fall out of
+        # the row-count arithmetic instead.
         fetched = expanded.join(
             pages.select(
                 F.col("url").alias("expanded_url"), "mime", "html", "out_links"
             ),
             "expanded_url",
-            "left",
         ).persist()
         ok = fetched.filter(F.col("mime") == "text/html")
         reject_row = fetched.agg(
-            F.sum(
-                (F.col("mime").isNotNull() & (F.col("mime") != "text/html")).cast("int")
-            ).alias("mime_rejected"),
-            F.sum(F.col("mime").isNull().cast("int")).alias("missing"),
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.sum((F.col("mime") != "text/html").cast("int")).alias("mime_rejected"),
         ).collect()[0]
         n_mime_rejected = int(reject_row["mime_rejected"] or 0)
-        n_missing = int(reject_row["missing"] or 0)
+        # claimed but not in the page store (dangling link / >300-char
+        # redirect target dropped by expand_redirects)
+        n_missing = n_claimed - int(reject_row["n_fetched"] or 0)
 
         # 4. extract spans; rejoin crawl metadata by the *source* url_hash
         # (unique per claimed row — two claims can share a final_url when
@@ -308,6 +313,46 @@ class CrawlLoop:
         return self.documents.read(self.spark).select(
             "iteration", "crawl_order", "source_url", "doc_id", "score"
         ).orderBy("iteration", "crawl_order")
+
+
+def scaling_workload(
+    spark: SparkSession,
+    n_pages: int = 1_000_000,
+    n_hosts: int = 10_000,
+    n_seeds: int = 100_000,
+    warmup_iters: int = 1,
+    timed_iters: int = 2,
+) -> dict:
+    """The north_rule scaling protocol workload: a compute-dominated
+    crawl (≈100k politeness-budgeted claims/iteration so the extraction
+    and join stages, not job-scheduling latency, set the pace). Run
+    identically at two parallelism levels; efficiency =
+    (throughput_hi / throughput_lo) / (cores_hi / cores_lo)."""
+    import tempfile
+
+    pages = generate_pages(spark, n_pages, n_hosts).persist()
+    pages.count()  # materialize the web outside every timed window
+    robots = generate_robots(spark, n_hosts)
+    seeds = generate_seeds(spark, n_pages, n_seeds, n_hosts)
+    with tempfile.TemporaryDirectory(prefix="crawl_scale_") as root:
+        loop = CrawlLoop(spark, root)
+        loop.init(seeds, pages.select("url", "shares", "pub_ms"))
+        loop.run(pages, robots, max_iterations=warmup_iters)  # JVM/Arrow warm
+        t0 = time.perf_counter()
+        stats = loop.run(
+            pages, robots, max_iterations=timed_iters, start_iteration=warmup_iters
+        )
+        dt = time.perf_counter() - t0
+        urls = sum(s.get("claimed", 0) + s.get("scheduled", 0) for s in stats)
+    pages.unpersist()
+    return {
+        "urls": urls,
+        "seconds": round(dt, 2),
+        "urls_per_sec": round(urls / max(dt, 1e-9), 1),
+        "iterations": [
+            {k: v for k, v in s.items() if k != "done"} for s in stats
+        ],
+    }
 
 
 def bench_crawl_iteration(

@@ -47,7 +47,9 @@ def _h(*cols) -> F.Column:
 
 
 def _host_idx(i, n_hosts: int):
-    u = F.pmod(_h("host", i), 1000) / F.lit(1000.0)
+    # 1e6-granular u so host spaces up to ~10^5 are fully reachable
+    # (coarser granularity silently caps the distinct-host count)
+    u = F.pmod(_h("host", i), 1_000_000) / F.lit(1_000_000.0)
     return F.floor(F.lit(n_hosts) * u * u * u).cast("int")
 
 

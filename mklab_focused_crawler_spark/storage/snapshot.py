@@ -28,6 +28,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotTable:
@@ -98,6 +99,47 @@ class SnapshotTable:
             raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
         files = self._manifest(snap)["files"]
         return spark.read.parquet(*files)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str | list[str],
+        update_cols: list[str] | None = None,
+    ) -> int:
+        """Iceberg ``MERGE INTO target USING updates ON key WHEN MATCHED
+        UPDATE WHEN NOT MATCHED INSERT`` — the reference's Mongo upsert
+        (WebPagesUpdaterBolt.java:70-92 update-else-insert by url;
+        MediaUpdaterBolt.java:85-126 by id) as a snapshot commit.
+
+        Matched rows take ``update_cols`` (default: all non-key columns)
+        from ``updates``; unmatched target rows pass through; unmatched
+        update rows insert. One full-outer join on the key — on a real
+        cluster both sides are bucketed by key so the join is
+        co-partitioned and only touched partitions rewrite.
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        if not self.exists():
+            return self.overwrite(updates)
+        target = self.read(spark)
+        cols = [c for c in target.columns if c not in keys]
+        upd = update_cols if update_cols is not None else [
+            c for c in updates.columns if c not in keys
+        ]
+        u2 = updates.withColumn("__is_update", F.lit(True))
+        joined = target.alias("t").join(u2.alias("u"), keys, "full_outer")
+        has_update = F.col("u.__is_update").isNotNull()  # NULL-safe marker
+        out_cols = [F.col(k).alias(k) for k in keys]
+        for c in cols:
+            if c in upd and c in updates.columns:
+                out_cols.append(
+                    F.when(has_update, F.col(f"u.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+        return self.overwrite(joined.select(*out_cols))
 
     def rollback_to(self, snapshot: int) -> None:
         """Point CURRENT back to an older snapshot (resume-after-kill)."""

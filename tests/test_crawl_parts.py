@@ -34,6 +34,31 @@ def test_snapshot_table_commit_and_time_travel(spark, tmp_path):
     assert t2.current_snapshot() == 1
 
 
+def test_snapshot_merge_upsert(spark, tmp_path):
+    """MERGE INTO semantics: matched updates, unmatched inserts,
+    untouched rows survive, non-update columns keep target values."""
+    t = SnapshotTable(str(tmp_path), "m")
+    t.overwrite(
+        spark.createDataFrame(
+            [("u1", "old", 1), ("u2", "keep", 2)], "url string, text string, n int"
+        )
+    )
+    updates = spark.createDataFrame(
+        [("u1", "new", 10), ("u3", "ins", 30)], "url string, text string, n int"
+    )
+    t.merge(spark, updates, key="url", update_cols=["text"])
+    got = {r["url"]: (r["text"], r["n"]) for r in t.read(spark).collect()}
+    assert got == {
+        "u1": ("new", 1),  # text updated, n kept (not in update_cols)
+        "u2": ("keep", 2),  # untouched
+        "u3": ("ins", None),  # inserted; non-update col null
+    }
+    # full-column upsert
+    t.merge(spark, updates, key="url")
+    got = {r["url"]: (r["text"], r["n"]) for r in t.read(spark).collect()}
+    assert got["u1"] == ("new", 10) and got["u3"] == ("ins", 30)
+
+
 # --------------------------- synthetic web ---------------------------
 def test_pages_deterministic(spark):
     a = generate_pages(spark, 100).orderBy("url").collect()
