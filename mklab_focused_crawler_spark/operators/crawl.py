@@ -57,7 +57,13 @@ from ..sources.synthetic_web import (
 from ..storage.snapshot import SnapshotTable
 from .extraction import extract_articles
 from .frontier import claim_batch, expand_redirects
-from .seen import build_bloom, filter_unseen, first_seen_wins, with_seen_key
+from .seen import (
+    build_bloom,
+    filter_unseen,
+    first_seen_wins,
+    merge_bloom,
+    with_seen_key,
+)
 
 DEFAULT_NOW_MS = BASE_MS + 86_400_000  # fixed "now": 2024-01-02T00:00:00Z
 N_BUCKETS_DEFAULT = 32
@@ -65,6 +71,12 @@ N_BUCKETS_DEFAULT = 32
 # the seen-prune never shuffles candidates; above it (≈10^9+ seen keys)
 # the cogroup-by-bucket path takes over. See operators/seen.filter_unseen.
 BROADCAST_BLOOM_MAX_BYTES = 256 << 20
+# Below this seen-set size a fresh per-iteration bloom build (one scan
+# of a small table) is cheaper than maintaining the filter table
+# incrementally; above it, rebuild cost grows with the seen set while
+# merge cost stays proportional to the new-key batch — switch to
+# merge_bloom + rebuild-on-doubling.
+BLOOM_INCREMENTAL_MIN_KEYS = 2_000_000
 
 
 def prepare_candidates(
@@ -133,7 +145,12 @@ class CrawlLoop:
         self.seen = SnapshotTable(root, "seen")
         self.documents = SnapshotTable(root, "documents")
         self.metrics = SnapshotTable(root, "metrics")
+        self.bloom = SnapshotTable(root, "bloom")
         self._n_seen: int | None = None  # tracked to size the bloom strategy
+        # keys in the bloom at its last from-scratch build; when the
+        # incrementally-merged key count doubles it, the filters are
+        # rebuilt at the new size (FPR creep guard)
+        self._bloom_built_keys: int | None = None
 
     # ------------------------------------------------------------------
     def init(self, seeds: DataFrame, pages_meta: DataFrame) -> None:
@@ -153,6 +170,9 @@ class CrawlLoop:
             )
         )
         self._n_seen = self.seen.read(self.spark).count()
+        if self.use_bloom:
+            self.bloom.overwrite(build_bloom(self.seen.read(self.spark)))
+            self._bloom_built_keys = self._n_seen
 
     def completed_iterations(self) -> int:
         if not self.metrics.exists():
@@ -242,7 +262,23 @@ class CrawlLoop:
         )
         if self._n_seen is None:
             self._n_seen = seen.count()  # resume path: one-time recount
-        bloom = build_bloom(seen) if self.use_bloom else None
+        bloom = None
+        incremental = self._n_seen >= BLOOM_INCREMENTAL_MIN_KEYS
+        if self.use_bloom and not incremental:
+            # small seen set: fresh build is one cheap scan
+            bloom = build_bloom(seen)
+        elif self.use_bloom:
+            # incremental: read the maintained filter table; a
+            # from-scratch rebuild (full seen scan) happens only on
+            # resume or when the key count has doubled since sizing
+            if (
+                not self.bloom.exists()
+                or self._bloom_built_keys is None
+                or self._n_seen > 2 * self._bloom_built_keys
+            ):
+                self.bloom.overwrite(build_bloom(seen))
+                self._bloom_built_keys = self._n_seen
+            bloom = self.bloom.read(self.spark)
         use_broadcast = (
             self._n_seen * 1.2 * 12 / 8  # keys → approx filter bytes
         ) <= BROADCAST_BLOOM_MAX_BYTES
@@ -265,6 +301,8 @@ class CrawlLoop:
             )
         )
         self.frontier.overwrite(remaining.unionByName(new_urls))
+        if self.use_bloom and incremental:
+            self.bloom.overwrite(merge_bloom(bloom, new_urls))
         lineage = _partition_lineage(claimed, iteration, "claimed").unionByName(
             _partition_lineage(new_urls, iteration, "scheduled")
         )

@@ -106,6 +106,49 @@ def build_bloom(seen: DataFrame) -> DataFrame:
     )
 
 
+def merge_bloom(bloom: DataFrame, new_keys: DataFrame) -> DataFrame:
+    """OR the new keys' bits into the existing per-bucket filters —
+    incremental maintenance so the seen table is never rescanned per
+    iteration (at 10^10 keys a from-scratch rebuild is a full-table
+    scan). Buckets with no prior filter get a fresh one; ``n_keys``
+    tracks occupancy so the caller can trigger a per-bucket rebuild
+    when the insert-count outgrows the sizing (FPR creep guard).
+    Cogroup on bucket — co-partitioned with the bloom table."""
+
+    def merge(blm: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        if len(keys) == 0:
+            return blm[["bucket", "nbits", "n_keys", "bits"]]
+        kh = keys["url_hash"].to_numpy().astype(np.uint64)
+        if len(blm) == 0:
+            nbits, bits = _build_one(kh)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(keys["bucket"].iloc[0])],
+                    "nbits": [nbits],
+                    "n_keys": [len(keys)],
+                    "bits": [bits],
+                }
+            )
+        nbits = int(blm["nbits"].iloc[0])
+        arr = np.frombuffer(blm["bits"].iloc[0], dtype=np.uint8).copy()
+        pos = _positions(kh, nbits)
+        np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "bucket": [int(blm["bucket"].iloc[0])],
+                "nbits": [nbits],
+                "n_keys": [int(blm["n_keys"].iloc[0]) + len(keys)],
+                "bits": [arr.tobytes()],
+            }
+        )
+
+    return (
+        bloom.groupBy("bucket")
+        .cogroup(new_keys.select("bucket", "url_hash").groupBy("bucket"))
+        .applyInPandas(merge, "bucket int, nbits long, n_keys long, bits binary")
+    )
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,

@@ -75,6 +75,25 @@ def test_crawl_order_and_seen_parity(spark, tmp_path):
     pages.unpersist()
 
 
+def test_crawl_parity_with_incremental_bloom(spark, tmp_path, monkeypatch):
+    """Force the incremental bloom-maintenance path (normally engaged
+    above 2M seen keys) and assert identical crawl order + seen set."""
+    from mklab_focused_crawler_spark.operators import crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "BLOOM_INCREMENTAL_MIN_KEYS", 0)
+    pages, robots, seeds = _setup(spark)
+    sim = _simulate(spark, pages, robots, seeds, max_iters=3)
+    loop, _ = _run_loop(spark, tmp_path / "inc", pages, robots, seeds, iters=3)
+    log = loop.crawl_log().collect()
+    got = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
+    assert got == sim["order"]
+    got_seen = {
+        r["canonical_url"] for r in loop.seen.read(spark).select("canonical_url").collect()
+    }
+    assert got_seen == sim["seen"]
+    pages.unpersist()
+
+
 def test_politeness_and_robots(spark, tmp_path):
     pages, robots, seeds = _setup(spark)
     sim = _simulate(spark, pages, robots, seeds)

@@ -59,6 +59,29 @@ def test_snapshot_merge_upsert(spark, tmp_path):
     assert got["u1"] == ("new", 10) and got["u3"] == ("ins", 30)
 
 
+def test_bloom_incremental_merge_no_false_negatives(spark):
+    """merge_bloom(build(half1), half2) must contain every key of both
+    halves — the incremental maintenance path the crawl loop uses."""
+    all_keys = spark.range(400).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    ).withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(8)).cast("int"))
+    h1 = all_keys.limit(200)
+    h2 = all_keys.subtract(h1)
+    merged = seen_mod.merge_bloom(seen_mod.build_bloom(h1), h2)
+    # probing the merged filter with every key must hit (bloom has no
+    # false negatives); route through filter_unseen with an EMPTY exact
+    # table: rows surviving as 'definite new' would be false negatives
+    empty_seen = all_keys.limit(0)
+    survivors = seen_mod.filter_unseen(all_keys, empty_seen, merged)
+    # all 400 pass the exact anti-join (seen empty), but none may have
+    # skipped the bloom as a definite miss — check via the broadcast path
+    hits = seen_mod.filter_unseen(
+        all_keys, all_keys, merged, broadcast_bloom=True
+    )
+    assert hits.count() == 0  # every key bloom-hits and is confirmed seen
+    assert survivors.count() == 400
+
+
 # --------------------------- synthetic web ---------------------------
 def test_pages_deterministic(spark):
     a = generate_pages(spark, 100).orderBy("url").collect()
