@@ -50,3 +50,44 @@ def test_stream_counts_match_batch(spark, tmp_path):
     topk = rolling_top_events(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     for r in topk.collect():
         assert want[(r["window_start_ms"], r["event_type"])] == r["cnt"]
+
+
+def test_stateful_trend_candidates_match_batch(spark, tmp_path):
+    """applyInPandasWithState rolling-trend op vs its batch twin — one
+    micro-batch covering the whole fixture (availableNow)."""
+    import shutil
+
+    from mklab_focused_crawler_spark.streaming.stateful import (
+        batch_trend_candidates,
+        candidate_from_ring,
+        streaming_trend_candidates,
+    )
+
+    # the pure rule, pinned
+    assert candidate_from_ring([1, 2, 3, 4, 5], [1, 1, 2, 4, 7])
+    assert not candidate_from_ring([1, 2, 3, 4, 6], [1, 1, 2, 4, 7])  # gap
+    assert not candidate_from_ring([1, 2, 3, 4, 5], [5, 4, 4, 4, 4])  # not mono
+    assert not candidate_from_ring([1, 2, 3, 4, 5], [1, 4, 5, 6, 7])  # decel
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", in_dir / "events.parquet")
+    stream = read_events_stream(spark, str(in_dir))
+    out = streaming_trend_candidates(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trend_candidates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("trend_candidates").collect()}
+    want = {
+        tuple(r)
+        for r in batch_trend_candidates(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    }
+    assert got == want
