@@ -72,6 +72,30 @@ def test_stateful_trend_candidates_match_batch(spark, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
     shutil.copy(f"{SF_DIR}/events.parquet", in_dir / "events.parquet")
+    # inject a synthetic accelerating surge (counts 1,1,2,4,8 over five
+    # consecutive windows) so the candidate set is provably non-empty,
+    # plus a decelerating decoy that must NOT fire
+    import pandas as pd
+
+    base = pd.Timestamp("2030-01-01")
+    rows = []
+    for w, n in enumerate([1, 1, 2, 4, 8]):
+        for i in range(n):
+            rows.append((90000 + len(rows), base + pd.Timedelta(hours=w, minutes=i), 1, "surge", 0.0, "{}"))
+    for w, n in enumerate([1, 8, 9, 10, 11]):  # decel deltas 7,1,1,1
+        for i in range(n):
+            rows.append((95000 + len(rows), base + pd.Timedelta(hours=w, minutes=i), 1, "decoy", 0.0, "{}"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    synth_pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(synth_pdf, preserve_index=False),
+        str(in_dir / "synth.parquet"),
+        coerce_timestamps="us",
+    )
     stream = read_events_stream(spark, str(in_dir))
     out = streaming_trend_candidates(stream)
     q = (
@@ -86,8 +110,9 @@ def test_stateful_trend_candidates_match_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("trend_candidates").collect()}
     want = {
         tuple(r)
-        for r in batch_trend_candidates(
-            spark.read.parquet(f"{SF_DIR}/events.parquet")
-        ).collect()
+        for r in batch_trend_candidates(spark.read.parquet(str(in_dir))).collect()
     }
     assert got == want
+    # non-vacuous: the injected surge fired, the decelerating decoy didn't
+    assert any(t[0] == "surge" for t in got)
+    assert not any(t[0] == "decoy" for t in got)
