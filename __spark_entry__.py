@@ -157,6 +157,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(corpus)
 
 
+def _q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
+    return dedup.jaccard_topk(corpus)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
     return dedup.duplicate_clusters(spark, corpus)
@@ -366,6 +371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "minhash_lsh_pairs": _q_minhash_lsh,
     "simhash_pairs": _q_simhash,
+    "jaccard_topk": _q_jaccard_topk,
     "duplicate_clusters": _q_dup_clusters,
     "cosine_topk": _q_cosine_topk,
     "ann_topk": _q_ann_topk,
@@ -427,6 +433,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": dedup.exact_dedup_sql(),
     "minhash_lsh_pairs": dedup.lsh_pairs_sql(),
     "simhash_pairs": dedup.simhash_pairs_sql(),
+    "jaccard_topk": dedup.jaccard_topk_sql(),
     "duplicate_clusters": dedup.duplicate_clusters_sql(),
     "cosine_topk": similarity.cosine_topk_sql(),
     "ann_topk": similarity.ann_topk_sql(),

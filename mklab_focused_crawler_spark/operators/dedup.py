@@ -301,6 +301,122 @@ def lsh_pairs_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard top-k via inverted index (sparse similarity join)
+# ---------------------------------------------------------------------------
+
+JACCARD_TOPK = 3
+JACCARD_PROBE_MOD = 25
+MAX_SHINGLE_DF_FRAC = 0.10  # drop shingles present in >10% of docs
+
+
+def jaccard_topk(corpus: DataFrame, k: int = JACCARD_TOPK) -> DataFrame:
+    """Top-k most-similar docs per probe by 2-gram Jaccard, via an
+    inverted shingle index: explode → df-cap → self-join on shingle →
+    count intersections → Jaccard from set sizes.
+
+    The df cap (drop shingles in >10% of docs) is the standard
+    stop-shingle pruning that keeps the index join linear in corpus
+    size — the candidate-pair count for a shingle is df², so one
+    ubiquitous shingle otherwise dominates the shuffle. Jaccard is
+    computed consistently over the capped shingle vocabulary (both set
+    sizes and intersections) — deterministic and mirrored in the
+    oracle.
+
+    Ranking on the double a/b is cross-engine safe: IEEE division of
+    identical integers is correctly rounded everywhere (unlike log/exp).
+    """
+    sh = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokenize(F.col("text")), SHINGLE_N))
+        ).alias("shingle"),
+    ).select("doc_id", hash64(F.col("shingle")).alias("h"))
+    n_docs = corpus.count()
+    max_df = max(int(n_docs * MAX_SHINGLE_DF_FRAC), 1)
+    rare = (
+        sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
+    )
+    sh = sh.join(rare.select("h"), "h")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    probes = sh.filter(F.col("doc_id") % JACCARD_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"), "h"
+    )
+    inter = (
+        probes.join(sh, "h")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    joined = (
+        inter.join(sizes.withColumnRenamed("doc_id", "probe_id").withColumnRenamed("sz", "sz_a"), "probe_id")
+        .join(sizes.withColumnRenamed("sz", "sz_b"), "doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "doc_id",
+            "rank",
+            "inter",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def jaccard_topk_sql(k: int = JACCARD_TOPK) -> str:
+    hashes = (
+        f"list_transform(list_distinct({ngrams_sql(tokenize_sql('text'), SHINGLE_N)}), "
+        f"s -> {hash64_sql('s')})"
+    )
+    return f"""
+        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        sh0 AS (
+            SELECT doc_id, unnest({hashes}) AS h FROM corpus
+        ),
+        caps AS (
+            SELECT h FROM sh0 GROUP BY h
+            HAVING count(*) <= greatest(CAST((SELECT count(*) FROM corpus) * {MAX_SHINGLE_DF_FRAC} AS INT), 1)
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN caps USING (h)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        probes AS (
+            SELECT doc_id AS probe_id, h FROM sh WHERE doc_id % {JACCARD_PROBE_MOD} = 0
+        ),
+        inter AS (
+            SELECT p.probe_id, s.doc_id, count(*) AS inter
+            FROM probes p JOIN sh s USING (h)
+            WHERE s.doc_id <> p.probe_id
+            GROUP BY p.probe_id, s.doc_id
+        ),
+        scored AS (
+            SELECT i.probe_id, i.doc_id, i.inter,
+                   CAST(i.inter AS DOUBLE) / (a.sz + b.sz - i.inter) AS jaccard
+            FROM inter i
+            JOIN sizes a ON a.doc_id = i.probe_id
+            JOIN sizes b ON b.doc_id = i.doc_id
+        )
+        SELECT probe_id, doc_id, rank, inter, round(jaccard, 6) AS jaccard
+        FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                        ORDER BY jaccard DESC, doc_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY probe_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash + banded Hamming pairs
 # ---------------------------------------------------------------------------
 

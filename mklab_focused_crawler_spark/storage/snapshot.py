@@ -32,10 +32,15 @@ from pyspark.sql import functions as F
 
 
 class SnapshotTable:
-    def __init__(self, root: str, name: str):
+    def __init__(self, root: str, name: str, partition_by: tuple[str, ...] = ()):
+        """partition_by: hive-style partition columns (e.g. ("bucket",))
+        — filters on them prune whole directories at scan time, the
+        parquet stand-in for Iceberg partition transforms like
+        ``bucket(N, url_hash)``."""
         self.dir = os.path.join(root, name)
         self.data_dir = os.path.join(self.dir, "data")
         self.snap_dir = os.path.join(self.dir, "_snapshots")
+        self.partition_by = tuple(partition_by)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.snap_dir, exist_ok=True)
 
@@ -70,7 +75,10 @@ class SnapshotTable:
 
     def _write_data(self, df: DataFrame, snap_hint: int) -> str:
         d = os.path.join(self.data_dir, f"{snap_hint:07d}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(d)
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(d)
         return d
 
     # -- public ops ------------------------------------------------------
@@ -98,6 +106,14 @@ class SnapshotTable:
         if snap is None:
             raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
         files = self._manifest(snap)["files"]
+        if self.partition_by and len(files) > 1:
+            # each data dir has its own hive partition tree; a multi-path
+            # read would reject the "conflicting" structures — union the
+            # per-dir reads (partition pruning still applies per scan)
+            out = spark.read.parquet(files[0])
+            for f in files[1:]:
+                out = out.unionByName(spark.read.parquet(f))
+            return out
         return spark.read.parquet(*files)
 
     def merge(

@@ -120,6 +120,63 @@ def test_politeness_and_robots(spark, tmp_path):
     pages.unpersist()
 
 
+def test_crawl_drains_to_reachable_set(spark, tmp_path):
+    """Run until the frontier empties: every robots-allowed page
+    reachable from the seeds is fetched exactly once (first-seen-wins),
+    and the loop reports done. Reachability oracle = BFS over collected
+    page rows honoring the same robots/mime/redirect rules."""
+    pages, robots, seeds = _setup(spark)
+    page_rows = {r["url"]: r.asDict() for r in pages.collect()}
+    robot_rows = {r["host"]: r.asDict() for r in robots.collect()}
+    seed_urls = [r["url"] for r in seeds.collect()]
+
+    def allowed(u):
+        pre = robot_rows.get(host_of(u), {}).get("disallow_prefixes") or []
+        path = "/" + u.split("://", 1)[1].split("/", 1)[1]
+        return not any(path.startswith(p) for p in pre)
+
+    # BFS: a URL is *scheduled* if discovered; *fetched* if allowed and
+    # its redirect target exists with text/html mime
+    from collections import deque
+
+    scheduled = set(seed_urls)
+    fetched_docs = set()
+    dq = deque(seed_urls)
+    while dq:
+        u = dq.popleft()
+        if not allowed(u):
+            continue
+        final = u
+        for _ in range(4):
+            p = page_rows.get(final)
+            if p is None or not p.get("redirect_to"):
+                break
+            final = p["redirect_to"]
+        p = page_rows.get(final)
+        if p is None or p["mime"] != "text/html":
+            continue
+        fetched_docs.add(final)
+        for link in p["out_links"]:
+            if link not in scheduled:
+                scheduled.add(link)
+                dq.append(link)
+
+    loop, stats = _run_loop(spark, tmp_path / "drain", pages, robots, seeds, iters=100)
+    assert stats[-1]["done"]
+    log = loop.crawl_log().collect()
+    # every source URL claimed at most once
+    sources = [r["source_url"] for r in log]
+    assert len(sources) == len(set(sources))
+    # fetched doc set == BFS-reachable fetchable set
+    assert {r["doc_id"] for r in log} == fetched_docs
+    # seen set == everything ever scheduled
+    got_seen = {
+        r["canonical_url"] for r in loop.seen.read(spark).select("canonical_url").collect()
+    }
+    assert got_seen == scheduled
+    pages.unpersist()
+
+
 def test_resume_from_snapshot(spark, tmp_path):
     pages, robots, seeds = _setup(spark)
     # uninterrupted run

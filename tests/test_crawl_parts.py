@@ -59,6 +59,23 @@ def test_snapshot_merge_upsert(spark, tmp_path):
     assert got["u1"] == ("new", 10) and got["u3"] == ("ins", 30)
 
 
+def test_snapshot_partitioned_writes_prune(spark, tmp_path):
+    """partition_by columns become hive partitions; a filter on them
+    prunes directories at scan time (Iceberg bucket-transform stand-in)."""
+    t = SnapshotTable(str(tmp_path), "p", partition_by=("bucket",))
+    df = spark.range(1000).selectExpr(
+        "id AS url_hash", "CAST(pmod(id, 8) AS INT) AS bucket"
+    )
+    t.overwrite(df)
+    read = t.read(spark).filter("bucket = 3")
+    assert read.count() == 125
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    # appends keep partitioning
+    t.append(df.filter("bucket = 3"))
+    assert t.read(spark).filter("bucket = 3").count() == 250
+
+
 def test_bloom_incremental_merge_no_false_negatives(spark):
     """merge_bloom(build(half1), half2) must contain every key of both
     halves — the incremental maintenance path the crawl loop uses."""
