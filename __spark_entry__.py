@@ -187,21 +187,25 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # null text ≡ empty document (deserialization-drop semantics applied
+    # as coalesce so the row count is stable)
+    t = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
         "doc_id",
-        text.token_count("text").cast("int").alias("n_tokens"),
-        text.quality_score("text").alias("quality"),
-        text.lang_id("text").alias("lang_pred"),
-        text.fingerprint("text").alias("fingerprint"),
+        text.token_count(t).cast("int").alias("n_tokens"),
+        text.quality_score(t).alias("quality"),
+        text.lang_id(t).alias("lang_pred"),
+        text.fingerprint(t).alias("fingerprint"),
     ).orderBy("doc_id")
 
 
+_T = "coalesce(text, '')"
 _TEXT_ANALYSIS_SQL = f"""
     SELECT doc_id,
-           CAST(len({text.tokenize_sql("text")}) AS INT) AS n_tokens,
-           {text.quality_score_sql("text")} AS quality,
-           {text.lang_id_sql("text")} AS lang_pred,
-           {text.fingerprint_sql("text")} AS fingerprint
+           CAST(len({text.tokenize_sql(_T)}) AS INT) AS n_tokens,
+           {text.quality_score_sql(_T)} AS quality,
+           {text.lang_id_sql(_T)} AS lang_pred,
+           {text.fingerprint_sql(_T)} AS fingerprint
     FROM documents ORDER BY doc_id
 """
 
@@ -228,7 +232,7 @@ def _span_sequences_sql() -> str:
     )
     from mklab_focused_crawler_spark.functions.text import tokenize_sql
 
-    toks = tokenize_sql("text")
+    toks = tokenize_sql("coalesce(text, '')")
     n_text = f"CAST(ceil(len(toks) / {BLOCK_TOKENS}.0) AS INT)"
     # offset of text block i = i + floor(i/MEDIA_EVERY) (media spans
     # interleave after every MEDIA_EVERY-th block); the media span that

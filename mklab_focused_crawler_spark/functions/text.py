@@ -191,4 +191,5 @@ def fingerprint(text: Column | str) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     toks = tokenize_sql(expr)
-    return f"md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
+    # coalesce: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+    return f"md5(coalesce(array_to_string(list_sort(list_distinct({toks})), ' '), ''))"

@@ -61,7 +61,9 @@ NEAR_TAIL = " near duplicate tail"
 
 def augment_corpus(documents: DataFrame) -> DataFrame:
     """documents + exact copies (%13) + mutated near-copies (%7)."""
-    base = documents.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    base = documents.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
     exact = base.filter(F.col("doc_id") % EXACT_MOD == 0).select(
         (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
     )
@@ -75,11 +77,13 @@ def augment_corpus(documents: DataFrame) -> DataFrame:
 def augment_corpus_sql() -> str:
     return f"""(
         SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        WHERE text IS NOT NULL
         UNION ALL
-        SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id % {EXACT_MOD} = 0
+        SELECT doc_id + {DUP_OFFSET}, text FROM documents
+        WHERE doc_id % {EXACT_MOD} = 0 AND text IS NOT NULL
         UNION ALL
         SELECT doc_id + {2 * DUP_OFFSET}, text || '{NEAR_TAIL}' FROM documents
-        WHERE doc_id % {NEAR_MOD} = 0
+        WHERE doc_id % {NEAR_MOD} = 0 AND text IS NOT NULL
     )"""
 
 

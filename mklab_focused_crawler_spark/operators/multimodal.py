@@ -150,7 +150,8 @@ def media_pipeline_sql() -> str:
     from ..functions.text import tokenize_sql
     from .spans import BLOCK_TOKENS, MEDIA_EVERY
 
-    n_text = f"CAST(ceil(len({tokenize_sql('text')}) / {BLOCK_TOKENS}.0) AS INT)"
+    toks = tokenize_sql("coalesce(text, '')")
+    n_text = f"CAST(ceil(len({toks}) / {BLOCK_TOKENS}.0) AS INT)"
     mref = (
         "'Web#' || CAST("
         + hash64_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")

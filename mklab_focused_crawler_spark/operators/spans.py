@@ -39,8 +39,12 @@ def build_spans(documents: DataFrame) -> DataFrame:
 
     Keeps lang/source columns for downstream grouping.
     """
+    # null text → no spans (deserialization drops unparseable rows,
+    # WebPageDeserializationBolt.java:41-52); coalesce keeps the row
+    # with an empty span list rather than poisoning downstream exprs
     toks = F.filter(
-        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: t != F.lit(""),
     )
     n_blocks = F.ceil(F.size(F.col("toks")) / F.lit(BLOCK_TOKENS)).cast("int")
 
@@ -85,7 +89,16 @@ def build_spans(documents: DataFrame) -> DataFrame:
         ),
     )
 
-    df = df.withColumn("spans_flat", F.flatten(spans_nested))
+    # guard: F.sequence(0, -1) yields [0, -1] (negative step inferred),
+    # which would fabricate phantom spans for empty documents
+    df = df.withColumn(
+        "spans_flat",
+        F.when(F.col("n_blocks") > 0, F.flatten(spans_nested)).otherwise(
+            F.array().cast(
+                "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+            )
+        ),
+    )
     # renumber offsets to document order (the per-row invariant)
     spans = F.transform(
         F.col("spans_flat"),
@@ -107,7 +120,10 @@ def build_spans(documents: DataFrame) -> DataFrame:
 # DuckDB oracle fragment: spans stats per doc from the flat table.
 # n_text = ceil(ntok/8); n_media = floor(n_text/3); n_spans = sum.
 def spans_stats_oracle_sql() -> str:
-    toks = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    toks = (
+        "list_filter(string_split_regex(lower(coalesce(text, ''))"
+        f", '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
     n_text = f"CAST(ceil(len({toks}) / {BLOCK_TOKENS}.0) AS INT)"
     return f"""
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -1,0 +1,104 @@
+"""Differential fuzzing: hypothesis-generated document corpora run
+through the Spark queries AND their DuckDB oracles — unicode, empty
+strings, NULLs, whitespace-only text; cases the fixed fixtures never
+produce."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.util import _norm
+
+TEXT = st.one_of(
+    st.none(),
+    st.text(max_size=60),
+    st.text(
+        alphabet="abc ABC 123 äöü 中文 😀 .,;|#?&-_'\"\\\n\t", max_size=80
+    ),
+    st.just(""),
+    st.just("   "),
+)
+
+CORPUS = st.lists(TEXT, min_size=1, max_size=12)
+
+
+def _mk_tables(spark, tmpdir, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": pd.array(texts, dtype="string"),
+            "lang": ["en"] * len(texts),
+            "source": [f"src{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }
+    )
+    path = f"{tmpdir}/documents.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    sdf = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    return sdf, con
+
+
+def _compare(spark_df, con, sql):
+    got = _norm(spark_df.toPandas())
+    want = _norm(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+def test_fuzz_text_analysis(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    sdf.createOrReplaceTempView("documents")  # not used by query fn; path-based
+    df = m.queries()["text_analysis"](spark, str(d))
+    _compare(df, con, m.oracle_sql()["text_analysis"])
+    con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+def test_fuzz_span_stats_and_sequences(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    for q in ["spans_stats", "span_sequences"]:
+        df = m.queries()[q](spark, str(d))
+        _compare(df, con, m.oracle_sql()[q])
+    con.close()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+def test_fuzz_dedup_pairs(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    for q in ["dedup_exact", "minhash_lsh_pairs"]:
+        df = m.queries()[q](spark, str(d))
+        _compare(df, con, m.oracle_sql()[q])
+    con.close()
