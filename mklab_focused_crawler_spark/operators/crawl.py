@@ -124,6 +124,14 @@ def _partition_lineage(df: DataFrame, iteration: int, stage: str) -> DataFrame:
     )
 
 
+def _lineage_rows(df: DataFrame, iteration: int, stage: str) -> tuple[list, int]:
+    """Collect the per-partition lineage rows once and derive the stage
+    row count from them — one job instead of a count() plus a lineage
+    aggregation."""
+    rows = _partition_lineage(df, iteration, stage).collect()
+    return rows, sum(r["rows"] for r in rows)
+
+
 class CrawlLoop:
     """Owns the iteration control Spark lacks natively (SURVEY §7 hard
     part #5) and the snapshot tables: frontier, seen, documents,
@@ -195,7 +203,7 @@ class CrawlLoop:
         # 1. claim (politeness + robots + deterministic priority)
         claimed, remaining = claim_batch(frontier, robots)
         claimed = claimed.persist()
-        n_claimed = claimed.count()
+        claimed_lineage, n_claimed = _lineage_rows(claimed, iteration, "claimed")
         if n_claimed == 0:
             claimed.unpersist()
             return {"iteration": iteration, "claimed": 0, "done": True}
@@ -285,7 +293,7 @@ class CrawlLoop:
         new_urls = filter_unseen(
             cand, seen, bloom, broadcast_bloom=use_broadcast
         ).persist()
-        n_new = new_urls.count()
+        new_lineage, n_new = _lineage_rows(new_urls, iteration, "scheduled")
         self._n_seen += n_new
 
         # 6. commit (documents → seen → frontier → metrics; a crash
@@ -303,10 +311,12 @@ class CrawlLoop:
         self.frontier.overwrite(remaining.unionByName(new_urls))
         if self.use_bloom and incremental:
             self.bloom.overwrite(merge_bloom(bloom, new_urls))
-        lineage = _partition_lineage(claimed, iteration, "claimed").unionByName(
-            _partition_lineage(new_urls, iteration, "scheduled")
+        self.metrics.append(
+            self.spark.createDataFrame(
+                claimed_lineage + new_lineage,
+                "iteration int, stage string, partition_id int, rows long",
+            )
         )
-        self.metrics.append(lineage)
 
         claimed.unpersist()
         fetched.unpersist()
