@@ -36,18 +36,24 @@ N_SALTS = 8
 MAX_URL_LENGTH = 300  # ArticleExtractionBolt.java:230
 
 
-def host_quota(crawl_delay_ms) -> F.Column:
+def host_quota(crawl_delay_ms, window_ms: int = ITER_WINDOW_MS) -> F.Column:
     """URLs claimable from one host in one iteration window.
 
-    delay=0 → MAX_PER_ROUTE (the reference's pool cap); otherwise the
-    number of politeness delays that fit in the window, min 1.
+    Politeness rate = one fetch per ``crawl_delay_ms``; the quota is how
+    many delays fit in the window. Zero-delay hosts are bounded by the
+    connection-concurrency cap instead: MAX_PER_ROUTE concurrent
+    connections (WebPageFetcherBolt.java:84) × one batch per second of
+    window. The *rate* per host is window-size-invariant — a longer
+    window only batches more crawl-time into one BSP super-step (the
+    scaling bench uses 10 s windows; tests pin the 1 s default).
     """
+    concurrency_cap = MAX_PER_ROUTE * max(window_ms // 1000, 1)
     return F.least(
-        F.lit(MAX_PER_ROUTE),
+        F.lit(concurrency_cap),
         F.greatest(
             F.lit(1),
             F.floor(
-                F.lit(ITER_WINDOW_MS) / F.greatest(crawl_delay_ms, F.lit(1))
+                F.lit(window_ms) / F.greatest(crawl_delay_ms, F.lit(1))
             ).cast("int"),
         ),
     ).cast("int")
@@ -69,7 +75,9 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     ).drop("disallow_prefixes")
 
 
-def claim_batch(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+def claim_batch(
+    frontier: DataFrame, robots: DataFrame, window_ms: int = ITER_WINDOW_MS
+) -> tuple[DataFrame, DataFrame]:
     """One politeness-budgeted claim: (claimed, remaining).
 
     frontier carries (url, canonical_url, url_hash, host, path, score, ...).
@@ -77,7 +85,7 @@ def claim_batch(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
     (score desc, url_hash asc) within the iteration.
     """
     f = apply_robots(frontier, robots).withColumn(
-        "_quota", host_quota(F.col("crawl_delay_ms"))
+        "_quota", host_quota(F.col("crawl_delay_ms"), window_ms)
     )
 
     order = [F.desc("score"), F.asc("url_hash")]

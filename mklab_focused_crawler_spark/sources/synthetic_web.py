@@ -66,8 +66,15 @@ def _url(i, n_hosts: int):
 
 
 def generate_pages(
-    spark: SparkSession, n_pages: int, n_hosts: int = N_HOSTS_DEFAULT
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = N_HOSTS_DEFAULT,
+    min_blocks: int = 2,
+    mod_blocks: int = 3,
 ) -> DataFrame:
+    """min_blocks/mod_blocks size the content (blocks per page ∈
+    [min_blocks, min_blocks+mod_blocks-1]) — the scaling bench passes
+    larger values so extraction compute dominates coordination."""
     df = spark.range(n_pages).withColumnRenamed("id", "i")
     i = F.col("i")
     vocab = F.lit(VOCAB)
@@ -75,7 +82,7 @@ def generate_pages(
     word = lambda j, m: F.element_at(  # noqa: E731
         vocab, (F.pmod(_h("w", i, j, m), len(VOCAB)) + 1).cast("int")
     )
-    n_blocks = (F.lit(2) + F.pmod(i, 3)).cast("int")
+    n_blocks = (F.lit(min_blocks) + F.pmod(i, mod_blocks)).cast("int")
     block_txt = lambda j: F.array_join(  # noqa: E731
         F.transform(F.sequence(F.lit(0), F.lit(11)), lambda m: word(j, m)), " "
     )
