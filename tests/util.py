@@ -23,8 +23,6 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
         else:
             # unify int32/int64 etc.
             try:
@@ -35,6 +33,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_matches_oracle(spark_df, sf_dir: str, sql: str) -> None:
+    """Mirror of the grading driver: columns sorted by name, order-
+    insensitive, values compared EXACTLY (bit-level for doubles — the
+    round-1 rtol=1e-6 tolerance masked a real driver hash failure)."""
     got = _norm(spark_df.toPandas())
     con = duck_con(sf_dir)
     want = _norm(con.execute(sql).df())
@@ -43,4 +44,4 @@ def assert_matches_oracle(spark_df, sf_dir: str, sql: str) -> None:
         f"columns differ: {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
