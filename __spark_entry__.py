@@ -39,9 +39,22 @@ _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    return top_terms_per_source(build_spans(docs), k=10)
+    """Flagship composition at sf0.001 — the engine end-to-end, not one
+    query: politeness-budgeted frontier claim (RankerBolt order +
+    per-host quota) → claimed documents → span extraction → exact
+    dedup (canonical doc per content hash) → top terms per source."""
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    claimed = _q_frontier_claim(spark, sf).select("doc_id")
+    crawled = docs.join(claimed, "doc_id")
+    canon = (
+        dedup.exact_dedup(
+            crawled.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        )
+        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
+        .select("doc_id")
+    )
+    return top_terms_per_source(build_spans(crawled.join(canon, "doc_id")), k=10)
 
 
 # --------------------------------------------------------------------------
@@ -62,20 +75,20 @@ def _q_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic URL corpus derived from documents.doc_id — identical
 # string construction on both engines so the URL ops themselves are the
 # thing under test.
-def _synth_url_col():
-    d = F.col("doc_id").cast("string")
+def _synth_url_col(id_col: str = "doc_id"):
+    d = F.col(id_col).cast("string")
     return (
         F.when(
-            F.col("doc_id") % 11 == 0,
+            F.col(id_col) % 11 == 0,
             F.concat(F.lit("https://instagram.com/p/pic"), d, F.lit("/")),
         )
         .when(
-            F.col("doc_id") % 13 == 0,
+            F.col(id_col) % 13 == 0,
             F.concat(F.lit("https://www.youtube.com/watch?v=vid"), d),
         )
-        .when(F.col("doc_id") % 17 == 0, F.concat(F.lit("https://vimeo.com/"), d))
+        .when(F.col(id_col) % 17 == 0, F.concat(F.lit("https://vimeo.com/"), d))
         .when(
-            F.col("doc_id") % 19 == 0,
+            F.col(id_col) % 19 == 0,
             F.concat(
                 F.lit("http://www.facebook.com/photo.php?fbid=f"), d, F.lit("&set=a.1")
             ),
@@ -83,27 +96,32 @@ def _synth_url_col():
         .otherwise(
             F.concat(
                 F.lit("HTTP://WWW.Site"),
-                (F.col("doc_id") % 23).cast("string"),
+                (F.col(id_col) % 23).cast("string"),
                 F.lit(".Example.COM:80/Articles/"),
                 d,
                 F.lit("/?utm=x&b="),
-                (F.col("doc_id") % 3).cast("string"),
+                (F.col(id_col) % 3).cast("string"),
                 F.lit("&a=1#frag"),
             )
         )
     )
 
 
-_SYNTH_URL_SQL = """
+def _synth_url_sql(id_col: str = "doc_id") -> str:
+    c = id_col
+    return f"""
     (CASE
-      WHEN doc_id % 11 = 0 THEN 'https://instagram.com/p/pic' || CAST(doc_id AS VARCHAR) || '/'
-      WHEN doc_id % 13 = 0 THEN 'https://www.youtube.com/watch?v=vid' || CAST(doc_id AS VARCHAR)
-      WHEN doc_id % 17 = 0 THEN 'https://vimeo.com/' || CAST(doc_id AS VARCHAR)
-      WHEN doc_id % 19 = 0 THEN 'http://www.facebook.com/photo.php?fbid=f' || CAST(doc_id AS VARCHAR) || '&set=a.1'
-      ELSE 'HTTP://WWW.Site' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM:80/Articles/'
-           || CAST(doc_id AS VARCHAR) || '/?utm=x&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1#frag'
+      WHEN {c} % 11 = 0 THEN 'https://instagram.com/p/pic' || CAST({c} AS VARCHAR) || '/'
+      WHEN {c} % 13 = 0 THEN 'https://www.youtube.com/watch?v=vid' || CAST({c} AS VARCHAR)
+      WHEN {c} % 17 = 0 THEN 'https://vimeo.com/' || CAST({c} AS VARCHAR)
+      WHEN {c} % 19 = 0 THEN 'http://www.facebook.com/photo.php?fbid=f' || CAST({c} AS VARCHAR) || '&set=a.1'
+      ELSE 'HTTP://WWW.Site' || CAST({c} % 23 AS VARCHAR) || '.Example.COM:80/Articles/'
+           || CAST({c} AS VARCHAR) || '/?utm=x&b=' || CAST({c} % 3 AS VARCHAR) || '&a=1#frag'
     END)
 """
+
+
+_SYNTH_URL_SQL = _synth_url_sql("doc_id")
 
 
 def _q_url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,6 +198,12 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (N_TABLES independent plane sets; recall and
+    bucket size tuned independently — the 10^8+-vector design)."""
+    return similarity.ann_topk_multi(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +369,38 @@ def _frontier_claim_sql() -> str:
     """
 
 
+# ---- entity extraction / POS tagging (heuristic, oracle-checked) ----------
+
+
+def _q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EntityExtractionBolt (capitalized-run heuristic — the
+    deterministic stand-in for the Stanford CRF model) as pure column
+    expressions; see functions/nlp.py."""
+    from mklab_focused_crawler_spark.functions import nlp
+
+    return nlp.entity_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PosTaggingBolt (suffix-rule heuristic) per-tag counts."""
+    from mklab_focused_crawler_spark.functions import nlp
+
+    return nlp.pos_tag_counts(load_table(spark, sf_dir, "documents"))
+
+
+# ---- per-domain media counters (MediaCounterBolt.java:71-82) --------------
+
+
+def _q_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-domain media counts: each event carries a synthetic
+    media URL (deterministic on both engines); counts group by the URL
+    host per 10-minute window, top-k per window."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return trending.domain_counts(
+        ev.withColumn("url", _synth_url_col("event_id"))
+    )
+
+
 # ---- JSON ingress / deserialization (SURVEY §2.2) ------------------------
 
 
@@ -390,6 +446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_clusters": _q_dup_clusters,
     "cosine_topk": _q_cosine_topk,
     "ann_topk": _q_ann_topk,
+    "ann_topk_multi": _q_ann_topk_multi,
     "embedding_near_dups": _q_embedding_near_dups,
     "text_analysis": _q_text_analysis,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
@@ -406,6 +463,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_sequences": _q_span_sequences,
     "frontier_claim": _q_frontier_claim,
     "json_ingress": _q_json_ingress,
+    "domain_counts": _q_domain_counts,
+    "entities": _q_entities,
+    "pos_tags": _q_pos_tags,
 }
 
 ORACLES: dict[str, str] = {
@@ -452,6 +512,7 @@ ORACLES: dict[str, str] = {
     "duplicate_clusters": dedup.duplicate_clusters_sql(),
     "cosine_topk": similarity.cosine_topk_sql(),
     "ann_topk": similarity.ann_topk_sql(),
+    "ann_topk_multi": similarity.ann_topk_multi_sql(),
     "embedding_near_dups": similarity.embedding_near_dups_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),
@@ -462,6 +523,9 @@ ORACLES: dict[str, str] = {
     "span_sequences": _span_sequences_sql(),
     "frontier_claim": _frontier_claim_sql(),
     "json_ingress": _JSON_INGRESS_SQL,
+    "domain_counts": trending.domain_counts_sql(_synth_url_sql("event_id")),
+    "entities": __import__("mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]).entity_counts_sql(),
+    "pos_tags": __import__("mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]).pos_tag_counts_sql(),
 }
 
 

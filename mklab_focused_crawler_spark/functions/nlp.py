@@ -23,8 +23,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-_ENTITY_RE = re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\b")
+ENTITY_PATTERN = r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\b"
+_ENTITY_RE = re.compile(ENTITY_PATTERN)
+TOKEN_PATTERN = r"[A-Za-z0-9]+"
 
 ENTITY_SCHEMA = "doc_id string, entity string, n_mentions int"
 POS_SCHEMA = "doc_id string, token string, tag string"
@@ -52,6 +55,105 @@ def _heuristic_pos(tok: str) -> str:
     if t and t[0].isdigit():
         return "CD"
     return "NN"
+
+
+# --------------------------------------------------------------------------
+# Column-expression variants (the oracle-checked query surface). The
+# heuristic is deterministic and regex-expressible, so the *query* form
+# stays JVM-side (regexp_extract_all + explode + groupBy — no Python);
+# the mapInPandas forms below keep the model-deployment shape for when a
+# real NER/POS model is injected.
+# --------------------------------------------------------------------------
+
+
+def entity_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, entity, n_mentions) — EntityExtractionBolt.java:91-113
+    dedup/count behavior over capitalized-run entities, as pure column
+    expressions."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(t, F.lit(ENTITY_PATTERN), 1)).alias(
+            "entity"
+        ),
+    )
+    return (
+        ents.groupBy("doc_id", "entity")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_mentions"))
+        .orderBy("doc_id", "entity")
+    )
+
+
+def entity_counts_sql(table: str = "documents") -> str:
+    return f"""
+        WITH e AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(coalesce(text, ''),
+                          '{ENTITY_PATTERN}', 1)) AS entity
+            FROM {table}
+        )
+        SELECT doc_id, entity, CAST(count(*) AS INT) AS n_mentions
+        FROM e GROUP BY doc_id, entity
+        ORDER BY doc_id, entity
+    """
+
+
+def _pos_tag_col(tok) -> F.Column:
+    t = F.lower(tok)
+    first = F.substring(t, 1, 1)
+    return (
+        F.when(t.endswith("ing"), F.lit("VBG"))
+        .when(t.endswith("ed"), F.lit("VBD"))
+        .when(t.endswith("ly"), F.lit("RB"))
+        .when(t.endswith("s") & (F.length(t) > 3), F.lit("NNS"))
+        .when((first >= "0") & (first <= "9"), F.lit("CD"))
+        .otherwise(F.lit("NN"))
+    )
+
+
+def pos_tag_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tag, n_tokens) — PosTaggingBolt's word#tag stream,
+    aggregated per tag (the per-token stream is unbounded output; the
+    counted form is the analytics surface). Pure column expressions."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)).alias("token"),
+    )
+    return (
+        toks.select("doc_id", _pos_tag_col(F.col("token")).alias("tag"))
+        .groupBy("doc_id", "tag")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"))
+        .orderBy("doc_id", "tag")
+    )
+
+
+def pos_tag_counts_sql(table: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   lower(unnest(regexp_extract_all(coalesce(text, ''),
+                         '{TOKEN_PATTERN}', 0))) AS t
+            FROM {table}
+        ),
+        tagged AS (
+            SELECT doc_id,
+                   CASE WHEN t LIKE '%ing' THEN 'VBG'
+                        WHEN t LIKE '%ed' THEN 'VBD'
+                        WHEN t LIKE '%ly' THEN 'RB'
+                        WHEN t LIKE '%s' AND len(t) > 3 THEN 'NNS'
+                        WHEN substring(t, 1, 1) BETWEEN '0' AND '9' THEN 'CD'
+                        ELSE 'NN' END AS tag
+            FROM toks
+        )
+        SELECT doc_id, tag, CAST(count(*) AS INT) AS n_tokens
+        FROM tagged GROUP BY doc_id, tag
+        ORDER BY doc_id, tag
+    """
 
 
 def extract_entities(

@@ -16,34 +16,58 @@ one deterministic BSP super-step over snapshot-committed tables
                   gate text/html (WebPageFetcherBolt.java:215-222).
 4. **extract**  — vectorized boilerpipe-style span extraction
                   (operators/extraction.py; ArticleExtractionBolt).
-5. **discover** — out-links → canonicalize → Bloom-pruned seen gate
-                  (operators/seen.py; StatusCheckBolt first-seen-wins)
-                  → batch dedup → score (RankerBolt formula) → schedule.
-6. **commit**   — documents/seen/frontier/metrics snapshot commits
+5. **discover** — out-links → canonicalize → filter-pruned seen gate
+                  (operators/seen.py bloom or operators/cuckoo.py;
+                  StatusCheckBolt first-seen-wins) → batch dedup →
+                  score (RankerBolt formula) → schedule.
+6. **commit**   — documents/frontier/claims/metrics snapshot commits
                   (storage/snapshot.py). Resume = re-read CURRENT.
 
 Determinism: crawl order is the *defined* sort (score desc, url_hash
 asc) per iteration — the reference's intended priority order minus its
 thread races (SURVEY §3.4). ``now_ms`` is an explicit parameter.
 
-Scale notes (10^10 frontier):
-- The frontier is rewritten per iteration here (sandbox parquet); on a
-  real cluster the table is Iceberg, partitioned by ``bucket``, and the
-  claim/remainder split is a MERGE that touches only claimed partitions.
-- Every join in the loop is keyed (url / url_hash / bucket); the pages
-  store would be bucketed on url so fetch-join and redirect-joins are
-  co-partitioned scans, not full shuffles.
-- The seen gate never materializes the seen set on the driver: Bloom
-  prune + exact anti-join, both executor-side (operators/seen.py).
-- Per-iteration metrics carry per-partition lineage rows so a skewed or
-  failed partition is attributable (north_rule lineage requirement).
+Scale design (10^10 frontier) — round-2 rework after the 0.318 scaling
+efficiency of the rewrite-everything round-1 loop:
+
+- **Append-only frontier = the seen set.** A URL enters the frontier
+  exactly when it is first seen, so one table serves both: per
+  iteration we *append* the newly scheduled rows and *append* the
+  claimed url_hashes to a small claims (tombstone) table. Nothing
+  O(frontier) is ever rewritten in the loop. Active frontier =
+  segments minus tombstones (broadcast anti-join while the tombstone
+  batch is small; on a real cluster both tables are Iceberg,
+  bucket-partitioned on url_hash, and the anti-join is
+  storage-partitioned). When tombstones exceed COMPACT_TOMBSTONE_FRAC
+  of the table, a compaction folds them into the ``claimed_iter``
+  column — amortized O(1) per row, Iceberg's MERGE+rewrite_data_files.
+- **No global-order window.** Round 1 ranked every claimed row with an
+  unpartitioned ``Window.orderBy`` — one task carried the claim batch
+  and the whole expand/canonicalize chain behind it. The defined order
+  is now carried by its sort key (score desc, url_hash asc); ordinals
+  are derived per-iteration at artifact-read time (``crawl_log``).
+- **Discovery is filter-first.** Exploded out-links are pruned by the
+  probabilistic seen filter *before* the dedup shuffle, so the one
+  groupBy sees only likely-new URLs. First-seen-wins dedup is a
+  ``min(struct(...))`` aggregation (map-side partial agg), not a
+  window (no sort, combiner halves the shuffle).
+- **Metadata join is co-partitioned.** The page-metadata side is
+  repartitioned by url once per run and cached; each iteration only
+  shuffles the (small) new-URL side to meet it (shuffle-hash, no
+  per-iteration sort of the big side).
+- TTL / re-crawl (CrawlDecider.java:14,23-36): with ``ttl_iterations``
+  set, seen-membership and claim tombstones both age out, so expired
+  URLs become claimable again; re-fetched documents route through
+  ``SnapshotTable.merge`` (WebPagesUpdaterBolt.java:70-92 upsert), not
+  blind append. The cuckoo seen-filter (delete-capable) physically
+  evicts expired keys; the bloom path filters them at join time only.
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scoring
@@ -55,15 +79,10 @@ from ..sources.synthetic_web import (
     generate_seeds,
 )
 from ..storage.snapshot import SnapshotTable
+from .cuckoo import build_cuckoo, delete_keys, filter_unseen_cuckoo, insert_keys
 from .extraction import extract_articles
 from .frontier import claim_batch, expand_redirects
-from .seen import (
-    build_bloom,
-    filter_unseen,
-    first_seen_wins,
-    merge_bloom,
-    with_seen_key,
-)
+from .seen import build_bloom, filter_unseen, merge_bloom, with_seen_key
 
 DEFAULT_NOW_MS = BASE_MS + 86_400_000  # fixed "now": 2024-01-02T00:00:00Z
 N_BUCKETS_DEFAULT = 32
@@ -71,34 +90,61 @@ N_BUCKETS_DEFAULT = 32
 # the seen-prune never shuffles candidates; above it (≈10^9+ seen keys)
 # the cogroup-by-bucket path takes over. See operators/seen.filter_unseen.
 BROADCAST_BLOOM_MAX_BYTES = 256 << 20
-# Below this seen-set size a fresh per-iteration bloom build (one scan
+# Below this seen-set size a fresh per-iteration filter build (one scan
 # of a small table) is cheaper than maintaining the filter table
 # incrementally; above it, rebuild cost grows with the seen set while
 # merge cost stays proportional to the new-key batch — switch to
-# merge_bloom + rebuild-on-doubling.
-BLOOM_INCREMENTAL_MIN_KEYS = 2_000_000
+# incremental merge + rebuild-on-doubling.
+FILTER_INCREMENTAL_MIN_KEYS = 2_000_000
+# Fold claim tombstones into the frontier when they exceed this fraction
+# of total frontier rows (amortized O(1)/row; Iceberg MERGE + compaction
+# on a real cluster).
+COMPACT_TOMBSTONE_FRAC = 0.5
+
+_FRONTIER_COLS = (
+    "url",
+    "canonical_url",
+    "url_hash",
+    "bucket",
+    "host",
+    "path",
+    "score",
+    "first_seen_iter",
+    "claimed_iter",
+)
 
 
-def prepare_candidates(
-    urls_df: DataFrame,
-    pages_meta: DataFrame,
-    now_ms: int,
-    n_buckets: int,
-    priority_col: str = "priority",
+def dedup_first_seen(cand: DataFrame) -> DataFrame:
+    """One winner per url_hash — StatusCheckBolt first-seen-wins within
+    a batch. ``min(struct(...))`` instead of a row_number window: the
+    struct's lexicographic order ((ns, ph) = discovery priority, then
+    canonical_url/url as total tie-break) picks the same winner, but the
+    aggregation combines map-side — no per-group sort, and the shuffle
+    carries one row per (partition, url_hash) instead of every row."""
+    # priority columns lead the lexicographic comparison; the remaining
+    # columns are a deterministic total tie-break
+    pri = [c for c in ("ns", "ph") if c in cand.columns]
+    other = pri + [c for c in cand.columns if c != "url_hash" and c not in pri]
+    return (
+        cand.groupBy("url_hash")
+        .agg(F.min(F.struct(*other)).alias("_w"))
+        .select("url_hash", "_w.*")
+    )
+
+
+def score_candidates(
+    uniq: DataFrame, pages_meta: DataFrame, now_ms: int
 ) -> DataFrame:
-    """URL rows → frontier-shaped rows: canonical key, host/path, score.
+    """Candidate keys → frontier-shaped rows with the RankerBolt score.
 
     ``pages_meta`` (url, shares, pub_ms) plays the role of the social
     metadata that rides along with WebPages in the reference's JSON
     ingress (RankerBolt.java:78-92 scores each page by its own
     shares/date). Unknown URLs score with shares=0, pub_ms=null.
-    """
-    cand = with_seen_key(urls_df, "url", n_buckets)
-    cand = first_seen_wins(
-        cand.withColumn("priority", F.col(priority_col).cast("long"))
-    )
-    cand = cand.join(pages_meta, "url", "left")
-    return cand.select(
+    shuffle_hash hint: the metadata side is large and (in the loop)
+    pre-partitioned by url — never sort it per iteration."""
+    joined = uniq.hint("shuffle_hash").join(pages_meta, "url", "left")
+    return joined.select(
         "url",
         "canonical_url",
         "url_hash",
@@ -109,6 +155,12 @@ def prepare_candidates(
             F.coalesce(F.col("shares"), F.lit(0)), F.col("pub_ms"), now_ms
         ).alias("score"),
     )
+
+
+def _candidate_keys(urls_df: DataFrame, n_buckets: int) -> DataFrame:
+    """url (+ ns/ph discovery-priority columns) → + canonical_url /
+    url_hash / bucket."""
+    return with_seen_key(urls_df, "url", n_buckets)
 
 
 def _partition_lineage(df: DataFrame, iteration: int, stage: str) -> DataFrame:
@@ -134,8 +186,9 @@ def _lineage_rows(df: DataFrame, iteration: int, stage: str) -> tuple[list, int]
 
 class CrawlLoop:
     """Owns the iteration control Spark lacks natively (SURVEY §7 hard
-    part #5) and the snapshot tables: frontier, seen, documents,
-    metrics."""
+    part #5) and the snapshot tables: frontier (= seen set), claims
+    (tombstones), documents, metrics, and the probabilistic seen-filter
+    (bloom or cuckoo)."""
 
     def __init__(
         self,
@@ -143,46 +196,109 @@ class CrawlLoop:
         root: str,
         n_buckets: int = N_BUCKETS_DEFAULT,
         now_ms: int = DEFAULT_NOW_MS,
-        use_bloom: bool = True,
+        seen_filter: str | None = "bloom",
         window_ms: int = 1000,
+        ttl_iterations: int | None = None,
+        transport_factory=None,
     ):
+        """``transport_factory``: when set, the fetch stage runs as the
+        injectable-transport mapInPandas UDF (operators/fetch.py —
+        WebPageFetcherBolt.java:96-160 shape: per-host politeness delay
+        inside the batch, status/error columns) instead of the
+        page-store equi-join. ``pages`` then only provides metadata and
+        the redirect map."""
+        assert seen_filter in (None, "bloom", "cuckoo")
         self.spark = spark
         self.now_ms = now_ms
         self.n_buckets = n_buckets
-        self.use_bloom = use_bloom
+        self.seen_filter = seen_filter
         self.window_ms = window_ms  # politeness window per super-step
+        self.ttl = ttl_iterations  # CrawlDecider TTL, in super-steps
+        self.transport_factory = transport_factory
         self.frontier = SnapshotTable(root, "frontier")
-        self.seen = SnapshotTable(root, "seen")
+        self.claims = SnapshotTable(root, "claims")
         self.documents = SnapshotTable(root, "documents")
         self.metrics = SnapshotTable(root, "metrics")
-        self.bloom = SnapshotTable(root, "bloom")
-        self._n_seen: int | None = None  # tracked to size the bloom strategy
-        # keys in the bloom at its last from-scratch build; when the
-        # incrementally-merged key count doubles it, the filters are
-        # rebuilt at the new size (FPR creep guard)
-        self._bloom_built_keys: int | None = None
+        self.filter_table = SnapshotTable(root, "seen_filter")
+        self._n_seen: int | None = None  # frontier rows (= seen keys)
+        self._n_tombs: int | None = None  # un-compacted claim tombstones
+        # keys in the filter at its last from-scratch build; rebuild at
+        # the new size when the merged key count doubles it (FPR /
+        # occupancy creep guard)
+        self._filter_built_keys: int | None = None
+        self._meta: DataFrame | None = None  # cached url-partitioned meta
 
     # ------------------------------------------------------------------
     def init(self, seeds: DataFrame, pages_meta: DataFrame) -> None:
-        """Seed the frontier; seeds are marked seen at injection
-        (StatusCheckBolt semantics: mark when scheduled, not when
-        fetched)."""
-        cand = prepare_candidates(
-            seeds.select("url", F.col("rank").alias("priority")),
-            pages_meta,
-            self.now_ms,
+        """Seed the frontier; seeds are seen at injection
+        (StatusCheckBolt semantics: mark when scheduled, not fetched)."""
+        k = _candidate_keys(
+            seeds.select(
+                "url",
+                F.col("rank").cast("double").alias("ns"),
+                F.lit(0).cast("long").alias("ph"),
+            ),
             self.n_buckets,
         )
-        self.frontier.overwrite(cand)
-        self.seen.overwrite(
-            self.frontier.read(self.spark).select(
-                "url_hash", "bucket", "canonical_url", F.lit(0).alias("first_seen_iter")
-            )
+        cand = dedup_first_seen(k).drop("ns", "ph")
+        scored = score_candidates(cand, pages_meta, self.now_ms)
+        self.frontier.overwrite(
+            scored.withColumn("first_seen_iter", F.lit(0))
+            .withColumn("claimed_iter", F.lit(None).cast("int"))
+            .select(*_FRONTIER_COLS)
         )
-        self._n_seen = self.seen.read(self.spark).count()
-        if self.use_bloom:
-            self.bloom.overwrite(build_bloom(self.seen.read(self.spark)))
-            self._bloom_built_keys = self._n_seen
+        self._n_seen = self.frontier.read(self.spark).count()
+        self._n_tombs = 0
+        if self.seen_filter:
+            self._rebuild_filter(0)
+
+    def seen_df(self, iteration: int | None = None) -> DataFrame:
+        """The exact URL-seen set: every frontier row ever appended.
+        With TTL, rows older than the window are expired (re-crawlable)
+        as of ``iteration``."""
+        df = self.frontier.read(self.spark).select(
+            "url_hash", "bucket", "canonical_url", "first_seen_iter"
+        )
+        if self.ttl is not None and iteration is not None:
+            df = df.filter(F.col("first_seen_iter") > F.lit(iteration - self.ttl))
+        return df
+
+    def active_frontier(self, iteration: int) -> DataFrame:
+        """Claimable rows: not claim-folded, not tombstoned (TTL: both
+        age out). The tombstone anti-join is broadcast while the
+        un-compacted batch is small; compaction keeps it small."""
+        fr = self.frontier.read(self.spark)
+        if self.ttl is None:
+            active = fr.filter(F.col("claimed_iter").isNull())
+        else:
+            active = fr.filter(
+                F.col("claimed_iter").isNull()
+                | (F.col("claimed_iter") <= F.lit(iteration - self.ttl))
+            )
+        if self.claims.exists():
+            tomb = self.claims.read(self.spark)
+            if self.ttl is not None:
+                tomb = tomb.filter(
+                    F.col("claimed_iter") > F.lit(iteration - self.ttl)
+                )
+            active = active.join(tomb.select("url_hash"), "url_hash", "left_anti")
+        if self.ttl is not None:
+            # an expired row and its re-discovered twin can both be
+            # active — claim the newest incarnation only
+            active = (
+                active.groupBy("url_hash")
+                .agg(
+                    F.max(
+                        F.struct(
+                            "first_seen_iter",
+                            *[c for c in _FRONTIER_COLS if c not in
+                              ("url_hash", "first_seen_iter")],
+                        )
+                    ).alias("_w")
+                )
+                .select("url_hash", "_w.*")
+            )
+        return active
 
     def completed_iterations(self) -> int:
         if not self.metrics.exists():
@@ -191,6 +307,26 @@ class CrawlLoop:
         row = df.agg(F.max("iteration")).collect()[0][0]
         return int(row) + 1 if row is not None else 0
 
+    # -- probabilistic seen-filter maintenance --------------------------
+    def _rebuild_filter(self, iteration: int) -> None:
+        seen = self.seen_df(iteration)
+        build = build_bloom if self.seen_filter == "bloom" else build_cuckoo
+        self.filter_table.overwrite(build(seen))
+        self._filter_built_keys = self._n_seen
+
+    def _filter_df(self, iteration: int, incremental: bool) -> DataFrame:
+        if not incremental:
+            # small seen set: fresh build is one cheap scan
+            build = build_bloom if self.seen_filter == "bloom" else build_cuckoo
+            return build(self.seen_df(iteration))
+        if (
+            not self.filter_table.exists()
+            or self._filter_built_keys is None
+            or self._n_seen > 2 * self._filter_built_keys
+        ):
+            self._rebuild_filter(iteration)
+        return self.filter_table.read(self.spark)
+
     # ------------------------------------------------------------------
     def run_iteration(
         self,
@@ -198,14 +334,39 @@ class CrawlLoop:
         robots: DataFrame,
         redirects: DataFrame,
         iteration: int,
+        pages_meta: DataFrame | None = None,
     ) -> dict:
-        frontier = self.frontier.read(self.spark)
-        seen = self.seen.read(self.spark)
+        t0 = time.perf_counter()
+        timings: dict[str, float] = {}
 
-        # 1. claim (politeness + robots + deterministic priority)
-        claimed, remaining = claim_batch(frontier, robots, self.window_ms)
-        claimed = claimed.persist()
+        def lap(name: str) -> None:
+            nonlocal t0
+            now = time.perf_counter()
+            timings[name] = round(now - t0, 3)
+            t0 = now
+
+        if self._n_seen is None:  # resume path: one-time recounts
+            self._n_seen = self.frontier.read(self.spark).count()
+            self._n_tombs = (
+                self.claims.read(self.spark).count() if self.claims.exists() else 0
+            )
+        meta = pages_meta if pages_meta is not None else pages.select(
+            "url", "shares", "pub_ms"
+        )
+
+        # 1. claim (politeness + robots + deterministic priority order).
+        # Spread the claimed batch across the cluster: the per-host
+        # window leaves it hash-partitioned by host (AQE-coalesced),
+        # while everything downstream is per-row work.
+        n_parts = self.spark.sparkContext.defaultParallelism
+        claimed = (
+            claim_batch(self.active_frontier(iteration), robots, self.window_ms)
+            .drop("first_seen_iter", "claimed_iter")
+            .repartition(n_parts)
+            .persist()
+        )
         claimed_lineage, n_claimed = _lineage_rows(claimed, iteration, "claimed")
+        lap("claim")
         if n_claimed == 0:
             claimed.unpersist()
             return {"iteration": iteration, "claimed": 0, "done": True}
@@ -215,19 +376,40 @@ class CrawlLoop:
             "final_url", canonicalize_url(F.col("expanded_url"))
         )
 
-        # 3. fetch = INNER join of the (small, broadcastable) claimed
-        # batch against the page store on the expanded URL. Inner, not
-        # left: a left join forces the page store to the build/shuffle
-        # side — sort-merge-shuffling the whole web (html included)
-        # every iteration. Inner lets AQE broadcast the claimed side and
-        # stream the page scan in place; "missing" fetches fall out of
-        # the row-count arithmetic instead.
-        fetched = expanded.join(
-            pages.select(
-                F.col("url").alias("expanded_url"), "mime", "html", "out_links"
-            ),
-            "expanded_url",
-        ).persist()
+        # 3. fetch. Default: INNER join of the (small, broadcastable)
+        # claimed batch against the page store on the expanded URL.
+        # Inner, not left: a left join forces the page store to the
+        # build/shuffle side — sort-merge-shuffling the whole web (html
+        # included) every iteration. Inner lets AQE broadcast the
+        # claimed side and stream the page scan in place; "missing"
+        # fetches fall out of the row-count arithmetic instead.
+        # With a transport_factory, fetch is the mapInPandas UDF over
+        # the claimed batch (per-host politeness inside the batch,
+        # status/error columns) — the real-HTTP execution shape.
+        if self.transport_factory is None:
+            fetched = expanded.join(
+                pages.select(
+                    F.col("url").alias("expanded_url"), "mime", "html", "out_links"
+                ),
+                "expanded_url",
+            ).persist()
+        else:
+            from .fetch import fetch_with_transport
+
+            delays = robots.select("host", "crawl_delay_ms")
+            to_fetch = expanded.join(F.broadcast(delays), "host", "left").withColumn(
+                "crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+            )
+            raw = fetch_with_transport(
+                to_fetch.repartition(n_parts, "host"),
+                self.transport_factory,
+                url_col="expanded_url",
+            )
+            fetched = (
+                raw.filter(F.col("status") == 200)
+                .drop("status", "fetch_ms", "fetch_error", "crawl_delay_ms")
+                .persist()
+            )
         ok = fetched.filter(F.col("mime") == "text/html")
         reject_row = fetched.agg(
             F.count(F.lit(1)).alias("n_fetched"),
@@ -237,23 +419,58 @@ class CrawlLoop:
         # claimed but not in the page store (dangling link / >300-char
         # redirect target dropped by expand_redirects)
         n_missing = n_claimed - int(reject_row["n_fetched"] or 0)
+        lap("fetch")
 
-        # 4. extract spans; rejoin crawl metadata by the *source* url_hash
-        # (unique per claimed row — two claims can share a final_url when
-        # a redirect source and its target are claimed together, so
-        # final_url is not a safe join key)
-        ok = ok.withColumn("row_key", F.col("url_hash").cast("string"))
-        docs = extract_articles(ok, id_col="row_key", html_col="html")
+        # 5a. discover: explode out-links; carry the discovering claim's
+        # sort key (ns, ph) — order-isomorphic to its crawl rank — as
+        # the first-seen priority. Filter-prune BEFORE the dedup shuffle.
+        links = ok.select(
+            F.explode("out_links").alias("url"),
+            (-F.col("score")).alias("ns"),
+            F.col("url_hash").alias("ph"),
+        )
+        cand = _candidate_keys(links, self.n_buckets)
+        seen = self.seen_df(iteration)
+        incremental = self._n_seen >= FILTER_INCREMENTAL_MIN_KEYS
+        if self.seen_filter == "bloom":
+            bloom = self._filter_df(iteration, incremental)
+            use_broadcast = (
+                self._n_seen * 1.2 * 12 / 8  # keys → approx filter bytes
+            ) <= BROADCAST_BLOOM_MAX_BYTES
+            pruned = filter_unseen(cand, seen, bloom, broadcast_bloom=use_broadcast)
+        elif self.seen_filter == "cuckoo":
+            filt = self._filter_df(iteration, incremental).persist()
+            pruned = filter_unseen_cuckoo(cand, seen, filt)
+        else:
+            pruned = filter_unseen(cand, seen, None)
+        new_urls = (
+            score_candidates(
+                dedup_first_seen(pruned).drop("ns", "ph"), meta, self.now_ms
+            )
+            .withColumn("first_seen_iter", F.lit(iteration + 1))
+            .withColumn("claimed_iter", F.lit(None).cast("int"))
+            .select(*_FRONTIER_COLS)
+            .persist()
+        )
+        new_lineage, n_new = _lineage_rows(new_urls, iteration, "scheduled")
+        lap("discover")
+
+        # 4. extract spans; rejoin crawl metadata by the *source*
+        # url_hash (unique per claimed row — two claims can share a
+        # final_url when a redirect source and its target are claimed
+        # together, so final_url is not a safe join key)
+        ok_k = ok.withColumn("row_key", F.col("url_hash").cast("string"))
+        docs = extract_articles(ok_k, id_col="row_key", html_col="html")
         doc_rows = (
             docs.withColumnRenamed("doc_id", "row_key")
             .join(
-                ok.select(
+                ok_k.select(
                     "row_key",
                     F.col("final_url").alias("doc_id"),
                     F.col("canonical_url").alias("source_url"),
                     "host",
                     "score",
-                    "crawl_order",
+                    F.col("url_hash").alias("src_hash"),
                 ),
                 "row_key",
             )
@@ -261,64 +478,64 @@ class CrawlLoop:
             .withColumn("iteration", F.lit(iteration))
         )
 
-        # 5. discover out-links → seen gate → schedule
-        links = (
-            ok.select(F.explode("out_links").alias("url"), "crawl_order")
-            .groupBy("url")
-            .agg(F.min("crawl_order").alias("priority"))
-        )
-        cand = prepare_candidates(
-            links, pages.select("url", "shares", "pub_ms"), self.now_ms, self.n_buckets
-        )
-        if self._n_seen is None:
-            self._n_seen = seen.count()  # resume path: one-time recount
-        bloom = None
-        incremental = self._n_seen >= BLOOM_INCREMENTAL_MIN_KEYS
-        if self.use_bloom and not incremental:
-            # small seen set: fresh build is one cheap scan
-            bloom = build_bloom(seen)
-        elif self.use_bloom:
-            # incremental: read the maintained filter table; a
-            # from-scratch rebuild (full seen scan) happens only on
-            # resume or when the key count has doubled since sizing
-            if (
-                not self.bloom.exists()
-                or self._bloom_built_keys is None
-                or self._n_seen > 2 * self._bloom_built_keys
-            ):
-                self.bloom.overwrite(build_bloom(seen))
-                self._bloom_built_keys = self._n_seen
-            bloom = self.bloom.read(self.spark)
-        use_broadcast = (
-            self._n_seen * 1.2 * 12 / 8  # keys → approx filter bytes
-        ) <= BROADCAST_BLOOM_MAX_BYTES
-        new_urls = filter_unseen(
-            cand, seen, bloom, broadcast_bloom=use_broadcast
-        ).persist()
-        new_lineage, n_new = _lineage_rows(new_urls, iteration, "scheduled")
-        self._n_seen += n_new
+        # 6. commit. Order matters for crash-resume: documents first,
+        # then the probabilistic filter, then frontier/claims, metrics
+        # last (metrics commit == iteration complete). A crash
+        # mid-sequence re-runs the iteration; the seen gate re-filters,
+        # and a stale filter can only over-approximate (extra exact
+        # confirms), never drop a truly-new URL.
+        if self.ttl is None:
+            self.documents.append(doc_rows)
+        else:
+            # re-crawl upsert (WebPagesUpdaterBolt.java:70-92): one
+            # deterministic winner per doc_id in the batch, then MERGE
+            batch = (
+                doc_rows.groupBy("doc_id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            "src_hash",
+                            *[c for c in doc_rows.columns if c not in ("doc_id", "src_hash")],
+                        )
+                    ).alias("_w")
+                )
+                .select("doc_id", "_w.*")
+                .select(*doc_rows.columns)
+            )
+            self.documents.merge(self.spark, batch, key="doc_id")
+        lap("extract_commit")
 
-        # 6. commit (documents → seen → frontier → metrics; a crash
-        # between commits re-runs the iteration from the frontier
-        # snapshot — idempotent because the seen gate re-filters)
-        self.documents.append(doc_rows)
-        self.seen.append(
-            new_urls.select(
-                "url_hash",
-                "bucket",
-                "canonical_url",
-                F.lit(iteration + 1).alias("first_seen_iter"),
+        if self.seen_filter and incremental:
+            if self.seen_filter == "bloom":
+                self.filter_table.overwrite(
+                    merge_bloom(self.filter_table.read(self.spark), new_urls)
+                )
+            else:
+                upd = insert_keys(filt, new_urls)
+                if self.ttl is not None:
+                    aging_out = self.frontier.read(self.spark).filter(
+                        F.col("first_seen_iter") == F.lit(iteration + 1 - self.ttl)
+                    )
+                    upd = delete_keys(upd, aging_out)
+                self.filter_table.overwrite(upd)
+        if self.seen_filter == "cuckoo":
+            filt.unpersist()
+        self.frontier.append(new_urls)
+        self.claims.append(
+            claimed.select(
+                "url_hash", "bucket", F.lit(iteration).alias("claimed_iter")
             )
         )
-        self.frontier.overwrite(remaining.unionByName(new_urls))
-        if self.use_bloom and incremental:
-            self.bloom.overwrite(merge_bloom(bloom, new_urls))
         self.metrics.append(
             self.spark.createDataFrame(
                 claimed_lineage + new_lineage,
                 "iteration int, stage string, partition_id int, rows long",
             )
         )
+        self._n_seen += n_new
+        self._n_tombs += n_claimed
+        self._maybe_compact()
+        lap("commit")
 
         claimed.unpersist()
         fetched.unpersist()
@@ -330,7 +547,43 @@ class CrawlLoop:
             "fetch_missing": n_missing,
             "scheduled": n_new,
             "done": False,
+            "timings": timings,
         }
+
+    # ------------------------------------------------------------------
+    def _maybe_compact(self) -> None:
+        """Fold claim tombstones into the frontier's claimed_iter column
+        once they exceed COMPACT_TOMBSTONE_FRAC of the table. Keeps the
+        per-claim anti-join side small without ever dropping rows (the
+        frontier doubles as the seen set — claimed rows must survive)."""
+        if not self._n_tombs or self._n_tombs < COMPACT_TOMBSTONE_FRAC * max(
+            self._n_seen or 1, 1
+        ):
+            return
+        fr = self.frontier.read(self.spark)
+        tomb = (
+            self.claims.read(self.spark)
+            .groupBy("url_hash")
+            .agg(F.max("claimed_iter").alias("_tomb_iter"))
+        )
+        folded = (
+            fr.join(tomb, "url_hash", "left")
+            .withColumn(
+                # latest claim wins (greatest skips nulls): under TTL a
+                # row can be re-claimed after an earlier fold, and the
+                # newer claim must shadow the stale claimed_iter
+                "claimed_iter",
+                F.greatest(F.col("claimed_iter"), F.col("_tomb_iter")),
+            )
+            .select(*_FRONTIER_COLS)
+        )
+        self.frontier.overwrite(folded)
+        self.claims.overwrite(
+            self.spark.createDataFrame(
+                [], "url_hash long, bucket int, claimed_iter int"
+            )
+        )
+        self._n_tombs = 0
 
     # ------------------------------------------------------------------
     def run(
@@ -347,9 +600,21 @@ class CrawlLoop:
             )
             .persist()  # read 4x/iteration by the hop joins
         )
+        if self._meta is None:
+            # metadata side of the discovery score join: partitioned by
+            # url once per run and cached, so per-iteration joins only
+            # shuffle the new-URL side to meet it
+            n_parts = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            self._meta = (
+                pages.select("url", "shares", "pub_ms")
+                .repartition(n_parts, "url")
+                .persist()
+            )
         stats = []
         for it in range(start_iteration, start_iteration + max_iterations):
-            s = self.run_iteration(pages, robots, redirects, it)
+            s = self.run_iteration(pages, robots, redirects, it, self._meta)
             stats.append(s)
             if s.get("done"):
                 break
@@ -358,11 +623,21 @@ class CrawlLoop:
 
     # ------------------------------------------------------------------
     def crawl_log(self) -> DataFrame:
-        """The defined crawl order: (iteration asc, crawl_order asc) over
-        fetched documents — the parity artifact golden tests compare."""
-        return self.documents.read(self.spark).select(
-            "iteration", "crawl_order", "source_url", "doc_id", "score"
-        ).orderBy("iteration", "crawl_order")
+        """The defined crawl order artifact: per iteration, fetched
+        documents ranked by the claim sort key (score desc, source
+        url_hash asc). The ordinal is derived here, at artifact-read
+        time, partitioned by iteration — never in the per-iteration hot
+        path (round-1's global window was the scaling killer)."""
+        w = Window.partitionBy("iteration").orderBy(
+            F.desc("score"), F.asc("src_hash")
+        )
+        return (
+            self.documents.read(self.spark)
+            .select("iteration", "src_hash", "source_url", "doc_id", "score")
+            .withColumn("crawl_order", F.row_number().over(w).cast("int"))
+            .select("iteration", "crawl_order", "source_url", "doc_id", "score")
+            .orderBy("iteration", "crawl_order")
+        )
 
 
 def scaling_workload(
@@ -408,6 +683,8 @@ def scaling_workload(
             dt = time.perf_counter() - t0
             urls = sum(s.get("claimed", 0) + s.get("scheduled", 0) for s in stats)
             runs.append((dt, urls, stats))
+            if loop._meta is not None:
+                loop._meta.unpersist()
     assert len({u for _, u, _ in runs}) == 1, "nondeterministic URL count"
     dt, urls, stats = min(runs, key=lambda r: r[0])
     pages.unpersist()
@@ -448,5 +725,7 @@ def bench_crawl_iteration(
         stats = loop.run(pages, robots, max_iterations=iterations)
         dt = time.perf_counter() - t0
         urls = sum(s.get("claimed", 0) + s.get("scheduled", 0) for s in stats)
+        if loop._meta is not None:
+            loop._meta.unpersist()
     pages.unpersist()
     return {"urls": urls, "seconds": dt, "urls_per_sec": urls / max(dt, 1e-9)}

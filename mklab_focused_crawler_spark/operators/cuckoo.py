@@ -202,6 +202,51 @@ def delete_keys(cuckoo: DataFrame, expired: DataFrame) -> DataFrame:
     )
 
 
+def insert_keys(cuckoo: DataFrame, new_keys: DataFrame) -> DataFrame:
+    """New filter table with ``new_keys`` (bucket, url_hash) inserted —
+    incremental maintenance (the cuckoo twin of seen.merge_bloom), so
+    the growing seen table is never rescanned per iteration. Buckets
+    with no prior filter get a fresh one. A cuckoo filter cannot grow
+    in place (re-indexing needs the original keys, not fingerprints);
+    when an insert overflows the eviction walk the caller must rebuild
+    from the exact seen table — CrawlLoop tracks occupancy and rebuilds
+    on doubling, so the walk never overflows in practice."""
+
+    def ins(filt: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        if len(filt) == 0:
+            if len(keys) == 0:
+                return pd.DataFrame(columns=["bucket", "m", "n_keys", "slots"])
+            t = CuckooTable.build(keys["url_hash"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "bucket": [int(keys["bucket"].iloc[0])],
+                    "m": [t.m],
+                    "n_keys": [len(keys)],
+                    "slots": [t.to_bytes()],
+                }
+            )
+        m = int(filt["m"].iloc[0])
+        t = CuckooTable.from_bytes(m, filt["slots"].iloc[0])
+        if len(keys):
+            rng = np.random.RandomState(12345)
+            for h in keys["url_hash"].to_numpy().astype(np.uint64):
+                t._insert_one(int(h), rng)
+        return pd.DataFrame(
+            {
+                "bucket": [int(filt["bucket"].iloc[0])],
+                "m": [m],
+                "n_keys": [int(filt["n_keys"].iloc[0]) + len(keys)],
+                "slots": [t.to_bytes()],
+            }
+        )
+
+    return (
+        cuckoo.groupBy("bucket")
+        .cogroup(new_keys.select("bucket", "url_hash").groupBy("bucket"))
+        .applyInPandas(ins, CUCKOO_SCHEMA)
+    )
+
+
 def filter_unseen_cuckoo(
     candidates: DataFrame, seen: DataFrame, cuckoo: DataFrame
 ) -> DataFrame:

@@ -44,9 +44,10 @@ JACCARD_THRESHOLD = 0.5  # verify gate on LSH candidates
 COEF_A = [((i * 2654435761) % 1_000_003) + 1 for i in range(K_HASHES)]
 COEF_B = [((i * 40503 + 17) % 1_000_033) for i in range(K_HASHES)]
 
-SIMHASH_BITS = 32
-SIM_BANDS = 4  # 8 bits each
-MAX_HAMMING = 3
+SIMHASH_BITS = 60  # full width of the 60-bit portable hash
+SIM_BANDS = 4
+SIM_BAND_BITS = SIMHASH_BITS // SIM_BANDS  # 15 -> 2^15 = 32768 bucket values/band
+MAX_HAMMING = 3  # pigeonhole: <=3 differing bits => >=1 of 4 bands equal
 
 EXACT_MOD = 13
 NEAR_MOD = 7
@@ -436,8 +437,11 @@ def jaccard_topk_sql(k: int = JACCARD_TOPK) -> str:
 
 
 def simhash(text_col) -> F.Column:
-    """32-bit SimHash over the token multiset: bit b set iff
-    sum_tokens(bit_b(h(token)) ? +1 : -1) > 0."""
+    """60-bit SimHash over the token multiset: bit b set iff
+    sum_tokens(bit_b(h(token)) ? +1 : -1) > 0. 60 bits (not the round-1
+    32): at 10^10 docs the banded self-join's candidate volume is
+    O(n^2 / band_value_space); 15-bit bands give 32768 bucket values per
+    band vs 256 for 8-bit bands — a 128x candidate reduction."""
     hh = F.transform(tokenize(text_col), hash64)
 
     def vote_fn(bb: int):
@@ -501,14 +505,21 @@ def simhash_table(corpus: DataFrame) -> DataFrame:
 
 def simhash_pairs(corpus: DataFrame) -> DataFrame:
     """Pairs within Hamming distance MAX_HAMMING, found via SIM_BANDS
-    8-bit band buckets (a pair ≤3 bits apart must agree on ≥1 band)."""
+    15-bit band buckets (a pair ≤3 bits apart must agree on ≥1 of the 4
+    bands — exact recall by pigeonhole). Scale bound: expected bucket
+    size n/2^15 per band ⇒ candidate pairs ≈ SIM_BANDS·n²/2^15 — the
+    only quadratic term, controlled by the band width."""
     sh = simhash_table(corpus)
     bands = sh.select(
         "doc_id",
         "sh",
         F.posexplode(
             F.array(
-                *[F.shiftright(F.col("sh"), 8 * j) % 256 for j in range(SIM_BANDS)]
+                *[
+                    F.shiftright(F.col("sh"), SIM_BAND_BITS * j)
+                    % (2 ** SIM_BAND_BITS)
+                    for j in range(SIM_BANDS)
+                ]
             )
         ).alias("band_idx", "band_val"),
     )
@@ -534,7 +545,10 @@ def simhash_pairs(corpus: DataFrame) -> DataFrame:
 
 def simhash_pairs_sql() -> str:
     sh = simhash_sql("text")
-    band_vals = ", ".join(f"(sh // {2 ** (8 * j)}) % 256" for j in range(SIM_BANDS))
+    band_vals = ", ".join(
+        f"(sh // {2 ** (SIM_BAND_BITS * j)}) % {2 ** SIM_BAND_BITS}"
+        for j in range(SIM_BANDS)
+    )
     return f"""
         WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
         shs AS (SELECT doc_id, {sh} AS sh FROM corpus),

@@ -77,12 +77,22 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 def claim_batch(
     frontier: DataFrame, robots: DataFrame, window_ms: int = ITER_WINDOW_MS
-) -> tuple[DataFrame, DataFrame]:
-    """One politeness-budgeted claim: (claimed, remaining).
+) -> DataFrame:
+    """One politeness-budgeted claim over the active frontier.
 
     frontier carries (url, canonical_url, url_hash, host, path, score, ...).
-    Claimed rows get ``crawl_order`` — the defined deterministic order
-    (score desc, url_hash asc) within the iteration.
+    Returns the claimed rows; the caller tracks them as claim tombstones
+    (append-only frontier — nothing is rewritten here).
+
+    The claim's *defined* order is the total sort key (score desc,
+    url_hash asc). No global ordinal is materialized: a
+    ``Window.orderBy`` with no partition moves every claimed row through
+    ONE task and everything downstream of it (redirect expansion,
+    canonicalization) inherits that single partition — the round-1
+    scaling killer. Consumers that need an ordinal (the crawl-log
+    artifact) derive it at read time; consumers that need an order
+    (discovery priority) use the sort key itself, which is
+    order-isomorphic to the ordinal.
     """
     f = apply_robots(frontier, robots).withColumn(
         "_quota", host_quota(F.col("crawl_delay_ms"), window_ms)
@@ -99,19 +109,11 @@ def claim_batch(
     )
     # phase 2: exact per-host top-quota over ≤ quota*N_SALTS survivors
     w2 = Window.partitionBy("host").orderBy(*order)
-    claimed = (
+    return (
         survivors.withColumn("_rn2", F.row_number().over(w2))
         .filter(F.col("_rn2") <= F.col("_quota"))
         .drop("_rn2", "_quota", "crawl_delay_ms")
     )
-    claimed = claimed.withColumn(
-        "crawl_order",
-        F.row_number().over(Window.orderBy(*order)),
-    )
-    remaining = frontier.join(
-        claimed.select("url_hash"), "url_hash", "left_anti"
-    )
-    return claimed, remaining
 
 
 def expand_redirects(

@@ -273,6 +273,153 @@ def ann_topk_sql(k: int = TOP_K) -> str:
 
 
 # ---------------------------------------------------------------------------
+# multi-table LSH ANN (the tunable 10^8+-vector design point)
+# ---------------------------------------------------------------------------
+
+# Single-table LSH couples bucket size and recall through one knob
+# (N_PLANES). Multi-table decouples them: each of N_TABLES independent
+# plane sets hashes every vector into a *narrow* bucket (MULTI_PLANES
+# bits → 2^10 = 1024 buckets/table, so per-bucket candidate work is
+# n/1024 per table), and a true neighbor is missed only if it lands in
+# a different bucket in ALL tables — recall ≈ 1-(1-p^b)^L. Candidate
+# volume scales as L·n²/2^b: both knobs tune independently.
+N_TABLES = 4
+MULTI_PLANES = 10
+
+
+def _gen_planes(prefix: str, n_planes: int) -> list[list[int]]:
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{prefix}plane-{p}-{d}".encode()).digest()[0]
+            row.append(1 if h % 2 == 1 else -1)
+        planes.append(row)
+    return planes
+
+
+MULTI_PLANE_SETS = [_gen_planes(f"t{t}-", MULTI_PLANES) for t in range(N_TABLES)]
+
+
+def _bucket_for(q_col, planes: list[list[int]]) -> F.Column:
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        s = qdot(q_col, F.lit(plane))
+        out = out + F.when(s >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def _bucket_for_sql(q_expr: str, planes: list[list[int]]) -> str:
+    parts = []
+    for p, plane in enumerate(planes):
+        w = "[" + ", ".join(str(v) for v in plane) + "]"
+        parts.append(f"(CASE WHEN {qdot_sql(q_expr, w)} >= 0 THEN {2**p} ELSE 0 END)")
+    return "CAST((" + " + ".join(parts) + ") AS INT)"
+
+
+def ann_topk_multi(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k via N_TABLES independent LSH tables: candidate
+    ids = union over tables of same-(table, bucket) matches, deduped,
+    then ranked by exact integer dot product. Plan: explode to
+    (vec_id, table, bucket) — one narrow shuffle on (table, bucket) for
+    candidate generation, a distinct on id pairs, and two id-keyed
+    joins to rehydrate vectors. Never touches the O(n²) cross product;
+    every join key is an equi-key."""
+    q = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", qnorm2(F.col("q")))
+    buckets = q.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_bucket_for(F.col("q"), ps) for ps in MULTI_PLANE_SETS])
+        ).alias("tbl", "bucket"),
+    )
+    probes = buckets.join(
+        q.filter(F.col("vec_id") % PROBE_MOD == 0).select("vec_id"), "vec_id"
+    ).select(F.col("vec_id").alias("probe_id"), "tbl", "bucket")
+    cand = (
+        probes.join(buckets, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            q.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("q").alias("pq"),
+                F.col("n2").alias("pn2"),
+            ),
+            "probe_id",
+        )
+        .join(q, "vec_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            qdot(F.col("pq"), F.col("q")).alias("dot_q"),
+            "pn2",
+            "n2",
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            "rank",
+            "dot_q",
+            _cosine_display(F.col("dot_q"), F.col("pn2"), F.col("n2")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def ann_topk_multi_sql(k: int = TOP_K) -> str:
+    q = quantized_sql("embedding")
+    per_table = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_bucket_for_sql('q', ps)} AS bucket FROM qt"
+        for t, ps in enumerate(MULTI_PLANE_SETS)
+    )
+    return f"""
+        WITH qt AS (
+            SELECT vec_id, {q} AS q, {qdot_sql(q, q)} AS n2 FROM embeddings
+        ),
+        buckets AS (
+            {per_table}
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, tbl, bucket FROM buckets
+            WHERE vec_id % {PROBE_MOD} = 0
+        ),
+        cand AS (
+            SELECT DISTINCT p.probe_id, b.vec_id
+            FROM probes p JOIN buckets b USING (tbl, bucket)
+            WHERE b.vec_id <> p.probe_id
+        ),
+        scored AS (
+            SELECT c.probe_id, c.vec_id,
+                   {qdot_sql("pq.q", "vq.q")} AS dot_q,
+                   pq.n2 AS pn2, vq.n2 AS n2
+            FROM cand c
+            JOIN qt pq ON pq.vec_id = c.probe_id
+            JOIN qt vq ON vq.vec_id = c.vec_id
+        )
+        SELECT probe_id, vec_id, rank, dot_q,
+               {_cosine_display_sql("dot_q", "pn2", "n2")} AS cosine
+        FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                        ORDER BY dot_q DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY probe_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (threshold, integer-exact)
 # ---------------------------------------------------------------------------
 

@@ -96,6 +96,54 @@ def rolling_top_events_sql(k: int = TOP_K) -> str:
 
 
 # ---------------------------------------------------------------------------
+# per-domain media counters (MediaCounterBolt.java:71-82: counts grouped
+# by new URL(url).getHost() per flush period, top-k via BoundedPQueue)
+# ---------------------------------------------------------------------------
+
+
+def domain_counts(events_urls: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Top-k media domains per tumbling 10-minute window. Input carries
+    (ts, url); the domain is the URL host (MediaCounterBolt extracts
+    ``new URL(mediaUrl).getHost()``). One shuffle on (window, domain)
+    with map-side partial counts; the per-window top-k window runs over
+    the already-aggregated counts (bounded by distinct domains)."""
+    from ..functions.urls import url_host
+
+    counts = events_urls.groupBy(
+        _win_start_ms(F.col("ts"), COUNT_WINDOW).alias("window_start_ms"),
+        url_host("url").alias("domain"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("window_start_ms").orderBy(
+        F.desc("cnt"), F.asc("domain")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("window_start_ms", "rank")
+    )
+
+
+def domain_counts_sql(url_expr: str, k: int = TOP_K) -> str:
+    from ..functions.urls import url_host_sql
+
+    ws = _win_start_ms_sql("ts", COUNT_WINDOW_MS)
+    return f"""
+        WITH u AS (SELECT ts, {url_expr} AS url FROM events),
+        counts AS (
+            SELECT {ws} AS window_start_ms, {url_host_sql("url")} AS domain,
+                   count(*) AS cnt
+            FROM u GROUP BY 1, 2
+        )
+        SELECT window_start_ms, domain, cnt, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY window_start_ms
+                        ORDER BY cnt DESC, domain ASC) AS INT) AS rank
+            FROM counts
+        ) WHERE rank <= {k}
+        ORDER BY window_start_ms, rank
+    """
+
+
+# ---------------------------------------------------------------------------
 # contributor counters (ItemsCounterBolt rolling $inc maps)
 # ---------------------------------------------------------------------------
 

@@ -108,7 +108,8 @@ def simulate(
             break
         claimed.sort(key=lambda u: (-frontier[u], url_hash[u]))
 
-        discovered: dict[str, int] = {}  # url -> min discovering crawl_order
+        discovered: dict[str, int] = {}  # url -> min discovering claim rank
+        doc_rank = 0  # ordinal over *fetched documents* (crawl_order)
         for rank, u in enumerate(claimed, start=1):
             claims.append((it, u))
             # redirect expansion
@@ -123,7 +124,8 @@ def simulate(
             p = by_url.get(final)
             if p is None or p["mime"] != "text/html":
                 continue
-            order.append((it, final, u, rank))
+            doc_rank += 1
+            order.append((it, final, u, doc_rank))
             for link in p["out_links"]:
                 if link not in discovered or rank < discovered[link]:
                     discovered[link] = rank

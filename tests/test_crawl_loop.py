@@ -65,7 +65,7 @@ def test_crawl_order_and_seen_parity(spark, tmp_path):
     )
 
     got_seen = {
-        r["canonical_url"] for r in loop.seen.read(spark).select("canonical_url").collect()
+        r["canonical_url"] for r in loop.seen_df().select("canonical_url").collect()
     }
     assert got_seen == sim["seen"]
 
@@ -80,7 +80,7 @@ def test_crawl_parity_with_incremental_bloom(spark, tmp_path, monkeypatch):
     above 2M seen keys) and assert identical crawl order + seen set."""
     from mklab_focused_crawler_spark.operators import crawl as crawl_mod
 
-    monkeypatch.setattr(crawl_mod, "BLOOM_INCREMENTAL_MIN_KEYS", 0)
+    monkeypatch.setattr(crawl_mod, "FILTER_INCREMENTAL_MIN_KEYS", 0)
     pages, robots, seeds = _setup(spark)
     sim = _simulate(spark, pages, robots, seeds, max_iters=3)
     loop, _ = _run_loop(spark, tmp_path / "inc", pages, robots, seeds, iters=3)
@@ -88,7 +88,7 @@ def test_crawl_parity_with_incremental_bloom(spark, tmp_path, monkeypatch):
     got = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
     assert got == sim["order"]
     got_seen = {
-        r["canonical_url"] for r in loop.seen.read(spark).select("canonical_url").collect()
+        r["canonical_url"] for r in loop.seen_df().select("canonical_url").collect()
     }
     assert got_seen == sim["seen"]
     pages.unpersist()
@@ -171,7 +171,7 @@ def test_crawl_drains_to_reachable_set(spark, tmp_path):
     assert {r["doc_id"] for r in log} == fetched_docs
     # seen set == everything ever scheduled
     got_seen = {
-        r["canonical_url"] for r in loop.seen.read(spark).select("canonical_url").collect()
+        r["canonical_url"] for r in loop.seen_df().select("canonical_url").collect()
     }
     assert got_seen == scheduled
     pages.unpersist()
@@ -190,7 +190,7 @@ def test_resume_from_snapshot(spark, tmp_path):
     a = [tuple(r) for r in loop_a.crawl_log().collect()]
     b = [tuple(r) for r in loop_b2.crawl_log().collect()]
     assert a == b
-    sa = sorted(r["canonical_url"] for r in loop_a.seen.read(spark).collect())
-    sb = sorted(r["canonical_url"] for r in loop_b2.seen.read(spark).collect())
+    sa = sorted(r["canonical_url"] for r in loop_a.seen_df().collect())
+    sb = sorted(r["canonical_url"] for r in loop_b2.seen_df().collect())
     assert sa == sb
     pages.unpersist()
