@@ -24,23 +24,40 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 LEVELS = (8, 32)
-N_PAGES = int(os.environ.get("SCALING_N_PAGES", "2000000"))
-N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "100000"))
-N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "800000"))
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "4000000"))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "200000"))
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "1600000"))
 
 
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
-ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
+
+
+def _cpu_sample() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:9]))
 
 
 def run_level(cores: int) -> dict:
+    # shuffle/spill files on tmpfs too — must be set before the JVM starts
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     from mklab_focused_crawler_spark.operators.crawl import scaling_workload
     from mklab_focused_crawler_spark.session import get_spark
 
     spark = get_spark(
         f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
+    c0 = _cpu_sample()
     out = scaling_workload(spark, N_PAGES, N_HOSTS, N_SEEDS, repeats=REPEATS)
+    c1 = _cpu_sample()
+    # noise evidence: host steal share during the level run (this sandbox
+    # is a co-tenant VM; bursts of 20%+ steal triple wall-clock). The
+    # interleaved best-of-N protocol exists to reject exactly this.
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = max(sum(d), 1)
+    out["steal_pct"] = round(100 * d[7] / tot, 1)
+    out["system_pct"] = round(100 * d[2] / tot, 1)
     out["cores"] = cores
     spark.stop()
     return out
@@ -58,7 +75,7 @@ def main() -> None:
     results = {}
     for rnd in range(ROUNDS):
         for cores in sorted(LEVELS, reverse=True):
-            env = dict(os.environ, SPARK_DRIVER_MEMORY="48g", SCALING_REPEATS="1")
+            env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
             proc = subprocess.run(
                 [sys.executable, __file__, "--level", str(cores)],
                 capture_output=True,
@@ -79,10 +96,8 @@ def main() -> None:
                 if r["seconds"] < prev["seconds"]:
                     r["all_seconds"] = prev["all_seconds"]
                     results[cores] = r
-    for cores in LEVELS:
-        results[cores]["urls_per_sec"] = round(
-            results[cores]["urls"] / results[cores]["seconds"], 1
-        )
+        if all(c in results for c in LEVELS):
+            _write_baseline(results)
 
     lo, hi = LEVELS
     eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / (hi / lo)
@@ -95,6 +110,14 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+
+def _write_baseline(results: dict) -> None:
+    lo, hi = LEVELS
+    for cores in LEVELS:
+        results[cores]["urls_per_sec"] = round(
+            results[cores]["urls"] / results[cores]["seconds"], 1
+        )
+    eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / (hi / lo)
     os.makedirs("BENCH", exist_ok=True)
     import platform
 

@@ -218,3 +218,28 @@ def media_pipeline(spans_df: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def update_media_and_users(
+    spark,
+    media_table,
+    users_table,
+    items,
+    media_key: str = "media_id",
+    user_cols: tuple[str, ...] = ("user_id", "username"),
+):
+    """MediaUpdaterBolt's double merge (MediaUpdaterBolt.java:85-126):
+    the media item upserts (update-else-insert by id), and the item's
+    StreamUser is inserted ONLY if absent — an existing user row is
+    never overwritten. ``items`` carries the media columns plus the
+    user columns; both writes are snapshot commits.
+
+    Plan shape: media upsert = keyed MERGE; user insert = anti-join +
+    append (O(batch), no table rewrite) — see
+    SnapshotTable.merge_if_absent."""
+    from pyspark.sql import functions as F
+
+    media_cols = [c for c in items.columns if c not in set(user_cols) - {"user_id"}]
+    media_table.merge(spark, items.select(*media_cols), key=media_key)
+    users = items.select(*user_cols).filter(F.col(user_cols[0]).isNotNull())
+    users_table.merge_if_absent(spark, users, key=user_cols[0])

@@ -99,22 +99,68 @@ class SnapshotTable:
         d = self._write_data(df, nxt)
         return self._commit(files + [d], "append")
 
+    @staticmethod
+    def _entry_path(e) -> str:
+        return e if isinstance(e, str) else e["path"]
+
     def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
         """Read a committed snapshot (default: current). Time travel =
-        pass an older snapshot id, like Iceberg VERSION AS OF."""
+        pass an older snapshot id, like Iceberg VERSION AS OF.
+
+        Manifest entries are either plain paths or
+        ``{"path": ..., "exclude": {col: [values...]}}`` — the
+        merge-on-read form written by ``replace_partitions``: an
+        excluded partition of an older file is shadowed by a newer file.
+        The exclusion predicate is on partition columns only, so it
+        prunes whole directories at scan time."""
         snap = snapshot if snapshot is not None else self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
         files = self._manifest(snap)["files"]
-        if self.partition_by and len(files) > 1:
-            # each data dir has its own hive partition tree; a multi-path
-            # read would reject the "conflicting" structures — union the
-            # per-dir reads (partition pruning still applies per scan)
-            out = spark.read.parquet(files[0])
-            for f in files[1:]:
-                out = out.unionByName(spark.read.parquet(f))
-            return out
-        return spark.read.parquet(*files)
+        has_excludes = any(not isinstance(e, str) and e.get("exclude") for e in files)
+        if not has_excludes and not (self.partition_by and len(files) > 1):
+            return spark.read.parquet(*[self._entry_path(e) for e in files])
+        # each data dir has its own hive partition tree; a multi-path
+        # read would reject the "conflicting" structures — union the
+        # per-dir reads (partition pruning still applies per scan)
+        out = None
+        for e in files:
+            df = spark.read.parquet(self._entry_path(e))
+            if not isinstance(e, str):
+                for col, values in (e.get("exclude") or {}).items():
+                    df = df.filter(~F.col(col).isin(values))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def replace_partitions(
+        self, spark: SparkSession, df: DataFrame, partition_values: dict
+    ) -> int:
+        """Replace the listed partitions with ``df``'s rows — Iceberg's
+        dynamic partition overwrite / ``rewrite_data_files`` scoped to
+        touched partitions. ``partition_values``: {partition_col:
+        [values...]}. Untouched partitions keep their existing files
+        untouched (merge-on-read exclusion, resolved at scan by
+        partition pruning); only the new data dir is written — O(touched
+        partitions), never O(table)."""
+        assert len(self.partition_by) == 1, (
+            "replace_partitions supports a single partition column "
+            "(independent per-column exclusion lists would over-exclude "
+            "on composite partitioning)"
+        )
+        cur = self.current_snapshot()
+        old = self._manifest(cur)["files"] if cur else []
+        new_files = []
+        for e in old:
+            entry = {"path": self._entry_path(e), "exclude": {}} if isinstance(
+                e, str
+            ) else {"path": e["path"], "exclude": dict(e.get("exclude") or {})}
+            for col, values in partition_values.items():
+                seen = set(entry["exclude"].get(col, []))
+                entry["exclude"][col] = sorted(seen | set(values))
+            new_files.append(entry)
+        nxt = (cur or 0) + 1
+        d = self._write_data(df, nxt)
+        return self._commit(new_files + [d], "replace_partitions")
 
     def merge(
         self,
@@ -130,14 +176,34 @@ class SnapshotTable:
 
         Matched rows take ``update_cols`` (default: all non-key columns)
         from ``updates``; unmatched target rows pass through; unmatched
-        update rows insert. One full-outer join on the key — on a real
-        cluster both sides are bucketed by key so the join is
-        co-partitioned and only touched partitions rewrite.
+        update rows insert.
+
+        Physical strategy: on a single-column-partitioned table (e.g.
+        ``bucket``), the merge is **partition-scoped** — only the
+        partitions present in ``updates`` are read, merged and
+        rewritten (``replace_partitions``); everything else keeps its
+        files. O(touched partitions), the Iceberg MERGE shape. On an
+        unpartitioned table it falls back to the full-outer rewrite.
         """
         keys = [key] if isinstance(key, str) else list(key)
         if not self.exists():
             return self.overwrite(updates)
+        if len(self.partition_by) == 1 and self.partition_by[0] in updates.columns:
+            pcol = self.partition_by[0]
+            touched = [r[0] for r in updates.select(pcol).distinct().collect()]
+            target_sub = self.read(spark).filter(F.col(pcol).isin(touched))
+            merged = self._merge_frames(target_sub, updates, keys, update_cols)
+            return self.replace_partitions(spark, merged, {pcol: touched})
         target = self.read(spark)
+        return self.overwrite(self._merge_frames(target, updates, keys, update_cols))
+
+    @staticmethod
+    def _merge_frames(
+        target: DataFrame,
+        updates: DataFrame,
+        keys: list[str],
+        update_cols: list[str] | None,
+    ) -> DataFrame:
         cols = [c for c in target.columns if c not in keys]
         upd = update_cols if update_cols is not None else [
             c for c in updates.columns if c not in keys
@@ -155,7 +221,36 @@ class SnapshotTable:
                 )
             else:
                 out_cols.append(F.col(f"t.{c}").alias(c))
-        return self.overwrite(joined.select(*out_cols))
+        return joined.select(*out_cols)
+
+    def merge_if_absent(
+        self, spark: SparkSession, rows: DataFrame, key: str | list[str]
+    ) -> int:
+        """Insert-only merge: ``WHEN NOT MATCHED INSERT`` with matched
+        target rows kept untouched — the reference's *second* merge in
+        MediaUpdaterBolt.java:120-126 (the media item's StreamUser is
+        inserted only if absent; an existing user row is never
+        overwritten).
+
+        Physically a pure append of the anti-joined batch — no table
+        rewrite at all (unlike ``merge``), so it is O(batch) + one
+        anti-join against the key column of the target (broadcast /
+        storage-partitioned at scale). Duplicate keys inside the batch
+        resolve to one deterministic winner (min over the full row
+        struct)."""
+        keys = [key] if isinstance(key, str) else list(key)
+        other = [c for c in rows.columns if c not in keys]
+        batch = (
+            rows.groupBy(*keys)
+            .agg(F.min(F.struct(*other)).alias("_w"))
+            .select(*keys, "_w.*")
+            .select(*rows.columns)
+        )
+        if not self.exists():
+            return self.overwrite(batch)
+        target_keys = self.read(spark).select(*keys)
+        inserts = batch.join(target_keys, keys, "left_anti")
+        return self.append(inserts)
 
     def rollback_to(self, snapshot: int) -> None:
         """Point CURRENT back to an older snapshot (resume-after-kill)."""

@@ -80,6 +80,32 @@ def windowed_contributors(stream: DataFrame, watermark: str = "30 minutes") -> D
     )
 
 
+def windowed_domain_counts(
+    stream: DataFrame, url_col: str = "url", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of trending.domain_counts (MediaCounterBolt.java:
+    71-82 per-domain rolling counters): tumbling windows over the URL
+    host with an event-time watermark. The reference flushed these maps
+    on a processing-time sleep loop; a window IS the group key here."""
+    from ..functions.urls import url_host
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", COUNT_WINDOW).alias("win"),
+            url_host(url_col).alias("domain"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("win")["start"].cast("timestamp")).alias(
+                "window_start_ms"
+            ),
+            "domain",
+            "cnt",
+        )
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> None:

@@ -236,3 +236,71 @@ def test_extraction_edge_cases(spark):
         assert got_spans == want_spans, name
     # img with no alt and no page title → dropped (alt-fallback rule)
     assert got["img_no_alt_no_title"]["media"] == 0
+
+
+def test_merge_if_absent_users(spark, tmp_path):
+    """StreamUser second merge (MediaUpdaterBolt.java:120-126): media
+    upserts, users insert-if-absent — existing user rows survive."""
+    from mklab_focused_crawler_spark.operators.multimodal import (
+        update_media_and_users,
+    )
+
+    media = SnapshotTable(str(tmp_path), "media")
+    users = SnapshotTable(str(tmp_path), "users")
+    b1 = spark.createDataFrame(
+        [("m1", "http://a/1.jpg", 7, "alice"), ("m2", "http://a/2.jpg", 8, "bob")],
+        "media_id string, url string, user_id long, username string",
+    )
+    update_media_and_users(spark, media, users, b1)
+    # second batch: m1 re-crawled with a new url; user 7 renamed upstream
+    # (must NOT overwrite), user 9 is new (must insert)
+    b2 = spark.createDataFrame(
+        [("m1", "http://a/1-v2.jpg", 7, "alice-renamed"), ("m3", "http://a/3.jpg", 9, "carol")],
+        "media_id string, url string, user_id long, username string",
+    )
+    update_media_and_users(spark, media, users, b2)
+
+    got_media = {r["media_id"]: r["url"] for r in media.read(spark).collect()}
+    assert got_media == {
+        "m1": "http://a/1-v2.jpg",  # upserted
+        "m2": "http://a/2.jpg",
+        "m3": "http://a/3.jpg",
+    }
+    got_users = {r["user_id"]: r["username"] for r in users.read(spark).collect()}
+    assert got_users == {7: "alice", 8: "bob", 9: "carol"}  # alice kept
+
+
+def test_partition_scoped_merge(spark, tmp_path):
+    """merge() on a bucket-partitioned table rewrites ONLY touched
+    partitions (replace_partitions / merge-on-read exclusion): untouched
+    buckets keep their original files; results match full-merge
+    semantics."""
+    t = SnapshotTable(str(tmp_path), "ps", partition_by=("bucket",))
+    base = spark.createDataFrame(
+        [(k, k % 4, f"v{k}") for k in range(16)],
+        "k int, bucket int, val string",
+    )
+    t.overwrite(base)
+    updates = spark.createDataFrame(
+        [(1, 1, "UPD"), (101, 1, "NEW")], "k int, bucket int, val string"
+    )
+    t.merge(spark, updates, key="k")
+    m = t._manifest(t.current_snapshot())
+    assert m["op"] == "replace_partitions"
+    # the original file is retained with bucket 1 excluded
+    entries = [e for e in m["files"] if not isinstance(e, str)]
+    assert entries and entries[0]["exclude"] == {"bucket": [1]}
+    got = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    want = {k: f"v{k}" for k in range(16)}
+    want[1] = "UPD"
+    want[101] = "NEW"
+    assert got == want
+    # a second scoped merge on another bucket accumulates exclusions
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, 2, "UPD2")], "k int, bucket int, val string"),
+        key="k",
+    )
+    got2 = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    want[2] = "UPD2"
+    assert got2 == want

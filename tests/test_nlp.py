@@ -46,3 +46,31 @@ def test_pos_heuristic(spark):
         "42": "CD",
         "table": "NN",
     }
+
+
+def test_column_query_matches_mapinpandas_shape(spark):
+    """The JVM-side column-expression entity query and the model-shaped
+    mapInPandas path implement the same heuristic — identical rows."""
+    from mklab_focused_crawler_spark.functions.nlp import (
+        entity_counts,
+        extract_entities,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alice Smith met Bob in New York City. Alice Smith waved."),
+            (2, "no capitals here"),
+            (3, None),
+            (4, "Paris Paris and London"),
+        ],
+        "doc_id long, text string",
+    )
+    col_rows = {
+        (int(r["doc_id"]), r["entity"], r["n_mentions"])
+        for r in entity_counts(df).collect()
+    }
+    udf_rows = {
+        (int(r["doc_id"]), r["entity"], r["n_mentions"])
+        for r in extract_entities(df, heuristic=True).collect()
+    }
+    assert col_rows == udf_rows and len(col_rows) > 0

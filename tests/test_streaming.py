@@ -116,3 +116,54 @@ def test_stateful_trend_candidates_match_batch(spark, tmp_path):
     # non-vacuous: the injected surge fired, the decelerating decoy didn't
     assert any(t[0] == "surge" for t in got)
     assert not any(t[0] == "decoy" for t in got)
+
+
+def test_stream_domain_counts_match_batch(spark, tmp_path):
+    """Streaming per-domain counters (MediaCounterBolt twin) == batch
+    domain_counts' count stage over the same files."""
+    import shutil
+
+    from mklab_focused_crawler_spark.functions.urls import url_host
+    from mklab_focused_crawler_spark.streaming.jobs import windowed_domain_counts
+
+    in_dir = tmp_path / "in_dom"
+    in_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", in_dir / "events.parquet")
+    stream = read_events_stream(spark, str(in_dir)).withColumn(
+        "url",
+        F.concat(
+            F.lit("http://host"),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit(".test/p/"),
+            F.col("event_id").cast("string"),
+        ),
+    )
+    run_to_memory_sink(
+        windowed_domain_counts(stream), "stream_domains", str(tmp_path / "ckpt_dom")
+    )
+    got = {
+        (r["window_start_ms"], r["domain"]): r["cnt"]
+        for r in spark.table("stream_domains").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("http://host"),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit(".test/p/"),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .groupBy(
+            F.unix_millis(
+                F.window("ts", COUNT_WINDOW)["start"].cast("timestamp")
+            ).alias("window_start_ms"),
+            url_host("url").alias("domain"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    want = {(r["window_start_ms"], r["domain"]): r["cnt"] for r in batch}
+    assert got == want and len(got) > 0
