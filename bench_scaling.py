@@ -23,7 +23,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-LEVELS = (8, 32)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+)
 N_PAGES = int(os.environ.get("SCALING_N_PAGES", "4000000"))
 N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "200000"))
 N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "1600000"))
@@ -39,6 +41,17 @@ def _cpu_sample() -> list[int]:
 
 
 def run_level(cores: int) -> dict:
+    # Pin this process (and the JVM + python workers it spawns) to
+    # exactly ``cores`` CPUs: an N-executor cluster has N cores TOTAL,
+    # but an unpinned local[N] only caps *task slots* — GC threads,
+    # Python UDF workers, and shuffle/IO threads silently overflow onto
+    # the machine's other cores, inflating the small level's throughput
+    # and corrupting the N-vs-4N comparison. Affinity makes each level a
+    # faithful emulation of its cluster size.
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
     # shuffle/spill files on tmpfs too — must be set before the JVM starts
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")

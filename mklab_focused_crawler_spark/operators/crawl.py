@@ -238,8 +238,7 @@ class CrawlLoop:
         # the new size when the merged key count doubles it (FPR /
         # occupancy creep guard)
         self._filter_built_keys: int | None = None
-        self._meta: DataFrame | None = None  # projection of _pages_part
-        self._pages_part: DataFrame | None = None  # url-partitioned page cache
+        self._meta: DataFrame | None = None  # cached (url, shares, pub_ms)
 
     # ------------------------------------------------------------------
     def init(self, seeds: DataFrame, pages_meta: DataFrame) -> None:
@@ -366,6 +365,9 @@ class CrawlLoop:
             timings[name] = round(now - t0, 3)
             t0 = now
 
+        def jd(desc: str) -> None:  # event-log attribution, no-op for exec
+            self.spark.sparkContext.setJobDescription(f"it{iteration}:{desc}")
+
         if self._n_seen is None:  # resume path: one-time recounts
             self._n_seen = self.frontier.read(self.spark).count()
             self._n_tombs = (
@@ -404,24 +406,17 @@ class CrawlLoop:
         # the claimed batch (per-host politeness inside the batch,
         # status/error columns) — the real-HTTP execution shape.
         if self.transport_factory is None:
-            # Fetch = co-partitioned equi-join against the cached
-            # url-partitioned page store: only the claim batch shuffles
-            # (bounded by the politeness budget); the web side is read
-            # in place from its fixed partitioning. shuffle_hash on the
-            # claim side: build the small hash, stream the page
-            # partition — never sort or re-shuffle the web. Fallback
-            # without the cache (direct run_iteration callers):
-            # broadcast the claim batch for the same effect.
-            store = self._pages_part if self._pages_part is not None else pages
-            pages_sel = store.select(
+            # Fetch = broadcast the claim batch (politeness-bounded:
+            # ≤ hosts×quota rows) against the page-store scan. The web
+            # side streams through the join in place — never shuffled,
+            # sorted, or heap-cached (see run() — an on-heap web cache
+            # was the measured GC/scaling killer). At 10^10 scale the
+            # equivalent is a storage-partitioned join against the
+            # bucketed Iceberg pages table.
+            pages_sel = pages.select(
                 F.col("url").alias("expanded_url"), "mime", "html", "out_links"
             )
-            claim_side = (
-                expanded.hint("shuffle_hash")
-                if self._pages_part is not None
-                else expanded.hint("broadcast")
-            )
-            fetched = claim_side.join(pages_sel, "expanded_url").persist()
+            fetched = expanded.hint("broadcast").join(pages_sel, "expanded_url").persist()
         else:
             from .fetch import fetch_with_transport
 
@@ -508,6 +503,7 @@ class CrawlLoop:
                 F.col("s.rows").alias("rows"),
             )
         )
+        jd("stats")
         stats_rows = (
             _partition_lineage(claimed, iteration, "claimed")
             .unionByName(fetch_stats)
@@ -533,26 +529,21 @@ class CrawlLoop:
                 filt.unpersist()
             return {"iteration": iteration, "claimed": 0, "done": True}
 
-        # 4. extract spans; rejoin crawl metadata by the *source*
-        # url_hash (unique per claimed row — two claims can share a
-        # final_url when a redirect source and its target are claimed
-        # together, so final_url is not a safe join key)
-        ok_k = ok.withColumn("row_key", F.col("url_hash").cast("string"))
-        docs = extract_articles(ok_k, id_col="row_key", html_col="html")
+        # 4. extract spans. Crawl metadata (source url/host/score/hash)
+        # rides THROUGH the extraction kernel as passthrough columns —
+        # the whole extract+commit path is one narrow map over the
+        # cached fetch partitions; no post-extraction join, no shuffle,
+        # no broadcast build. (An earlier rejoin-by-row_key version cost
+        # one join per iteration — measured as a top serial term.)
+        docs = extract_articles(
+            ok,
+            id_col="final_url",
+            html_col="html",
+            passthrough=("canonical_url", "host", "score", "url_hash"),
+        )
         doc_rows = (
-            docs.withColumnRenamed("doc_id", "row_key")
-            .join(
-                ok_k.select(
-                    "row_key",
-                    F.col("final_url").alias("doc_id"),
-                    F.col("canonical_url").alias("source_url"),
-                    "host",
-                    "score",
-                    F.col("url_hash").alias("src_hash"),
-                ),
-                "row_key",
-            )
-            .drop("row_key")
+            docs.withColumnRenamed("canonical_url", "source_url")
+            .withColumnRenamed("url_hash", "src_hash")
             .withColumn("iteration", F.lit(iteration))
             .withColumn(
                 "doc_bucket",
@@ -566,6 +557,7 @@ class CrawlLoop:
         # mid-sequence re-runs the iteration; the seen gate re-filters,
         # and a stale filter can only over-approximate (extra exact
         # confirms), never drop a truly-new URL.
+        jd("docs")
         if self.ttl is None:
             self.documents.append(doc_rows)
         else:
@@ -587,6 +579,7 @@ class CrawlLoop:
             self.documents.merge(self.spark, batch, key="doc_id")
         lap("extract_commit")
 
+        jd("filter")
         if self.seen_filter and incremental:
             if self.seen_filter == "bloom":
                 self.filter_table.overwrite(
@@ -605,12 +598,15 @@ class CrawlLoop:
         # narrow-table writes coalesce to a handful of files: these
         # frames sit in cache at full core-count partitioning, and tiny
         # per-task files just add scheduler + committer overhead
+        jd("frontier")
         self.frontier.append(new_urls.coalesce(8))
+        jd("claims")
         self.claims.append(
             claimed.select(
                 "url_hash", "bucket", F.lit(iteration).alias("claimed_iter")
             ).coalesce(4)
         )
+        jd("metrics")
         self.metrics.append(
             self.spark.createDataFrame(
                 lineage_rows,
@@ -619,7 +615,9 @@ class CrawlLoop:
         )
         self._n_seen += n_new
         self._n_tombs += n_claimed
+        jd("compact")
         self._maybe_compact()
+        self.spark.sparkContext.setJobDescription(None)
         lap("commit")
 
         claimed.unpersist()
@@ -685,33 +683,56 @@ class CrawlLoop:
             )
             .persist()  # read 4x/iteration by the hop joins
         )
-        if self._pages_part is None:
-            # THE page-store access path: one url-partitioned cached
-            # copy serves both the fetch join and the metadata score
-            # join, so every per-iteration join is co-partitioned — only
-            # the (bounded) claim / new-URL side shuffles, the web is
-            # never re-shuffled, re-sorted, or broadcast-built. This is
-            # the cached stand-in for a bucketed Iceberg pages table
-            # (storage-partitioned join at 10^10 scale).
+        if self._meta is None:
+            # Page-store access paths. The html-bearing web is NEVER
+            # held on the JVM heap: a deserialized multi-GB cache fills
+            # the old generation, and every GC pause then stops all task
+            # threads — measured as 29% of task time in GC and ZERO
+            # 8→32-core scaling before this rework. The fetch join
+            # instead broadcasts the politeness-bounded claim batch
+            # (≤ hosts×quota rows — small by construction) against the
+            # columnar page-store scan, which is read-only, off-heap
+            # (parquet/Arrow page cache at rest) and embarrassingly
+            # parallel. At 10^10 scale the same plan is a storage-
+            # partitioned join against the bucketed Iceberg pages table.
+            # Only the narrow (url, shares, pub_ms) metadata projection
+            # is cached, pre-partitioned by url so the score join only
+            # shuffles the (small) new-URL side.
             n_parts = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
-            self._pages_part = pages.repartition(n_parts, "url").persist()
-            self._meta = self._pages_part.select("url", "shares", "pub_ms")
-        stats = []
-        for it in range(start_iteration, start_iteration + max_iterations):
-            s = self.run_iteration(pages, robots, redirects, it, self._meta)
-            stats.append(s)
-            if s.get("done"):
-                break
+            self._meta = (
+                pages.select("url", "shares", "pub_ms")
+                .repartition(n_parts, "url")
+                .persist()
+            )
+        # AQE off for the super-steps: every adaptive shuffle becomes a
+        # sequentially-materialized query stage — a separate job with a
+        # driver barrier. Profiling showed ~30 jobs per iteration under
+        # AQE; those fixed driver costs are core-count-independent and
+        # were the dominant serial term in the scaling measurement. The
+        # loop's shuffles are already explicitly sized (partitions =
+        # cores), salted (claim top-k), and hinted (broadcast /
+        # shuffle_hash), so AQE's runtime re-planning buys nothing here.
+        conf = self.spark.conf
+        prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            stats = []
+            for it in range(start_iteration, start_iteration + max_iterations):
+                s = self.run_iteration(pages, robots, redirects, it, self._meta)
+                stats.append(s)
+                if s.get("done"):
+                    break
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
         redirects.unpersist()
         return stats
 
     def close(self) -> None:
-        """Release the per-run caches (partitioned page store)."""
-        if self._pages_part is not None:
-            self._pages_part.unpersist()
-            self._pages_part = None
+        """Release the per-run caches (partitioned metadata)."""
+        if self._meta is not None:
+            self._meta.unpersist()
             self._meta = None
 
     # ------------------------------------------------------------------
@@ -759,13 +780,25 @@ def scaling_workload(
     sandbox's virtio disk has high-variance throughput that would
     otherwise dominate the measurement. On a real cluster the
     equivalent is local NVMe + an object store — the protocol measures
-    compute/shuffle scaling, not one VM's disk."""
+    compute/shuffle scaling, not one VM's disk.
+
+    The generated web is materialized to a parquet store (tmpfs), NOT
+    ``persist()``ed: a deserialized on-heap web cache fills the JVM old
+    generation and GC pauses — which stop every task thread — then eat
+    the added cores (measured: 29% of task time in GC and ~0 scaling
+    8→32 before this change). Columnar files at rest cost zero heap;
+    scans are vectorized and parallel. This is also the faithful shape:
+    the design-scale page store is a bucketed Iceberg table, not a
+    cluster-memory-resident web."""
     import os
     import tempfile
 
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    pages = generate_pages(spark, n_pages, n_hosts, min_blocks, mod_blocks).persist()
-    pages.count()  # materialize the web outside every timed window
+    web_dir = tempfile.mkdtemp(prefix="crawl_web_", dir=tmp_base)
+    generate_pages(spark, n_pages, n_hosts, min_blocks, mod_blocks).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(web_dir, "pages"))
+    pages = spark.read.parquet(os.path.join(web_dir, "pages"))
     robots = generate_robots(spark, n_hosts)
     seeds = generate_seeds(spark, n_pages, n_seeds, n_hosts)
     runs = []
@@ -787,7 +820,9 @@ def scaling_workload(
             loop.close()
     assert len({u for _, u, _ in runs}) == 1, "nondeterministic URL count"
     dt, urls, stats = min(runs, key=lambda r: r[0])
-    pages.unpersist()
+    import shutil
+
+    shutil.rmtree(web_dir, ignore_errors=True)
     return {
         "urls": urls,
         "seconds": round(dt, 2),
@@ -816,11 +851,14 @@ def bench_crawl_iteration(
     import tempfile
 
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    pages = generate_pages(spark, n_pages, n_hosts).persist()
-    pages.count()  # materialize the web outside the timed window
-    robots = generate_robots(spark, n_hosts)
-    seeds = generate_seeds(spark, n_pages, n_seeds, n_hosts)
     with tempfile.TemporaryDirectory(prefix="crawl_bench_", dir=tmp_base) as root:
+        # parquet-backed web, not an on-heap cache (see scaling_workload)
+        generate_pages(spark, n_pages, n_hosts).write.mode("overwrite").parquet(
+            os.path.join(root, "web_pages")
+        )
+        pages = spark.read.parquet(os.path.join(root, "web_pages"))
+        robots = generate_robots(spark, n_hosts)
+        seeds = generate_seeds(spark, n_pages, n_seeds, n_hosts)
         loop = CrawlLoop(spark, root)
         loop.init(seeds, pages.select("url", "shares", "pub_ms"))
         t0 = time.perf_counter()
@@ -828,5 +866,4 @@ def bench_crawl_iteration(
         dt = time.perf_counter() - t0
         urls = sum(s.get("claimed", 0) + s.get("scheduled", 0) for s in stats)
         loop.close()
-    pages.unpersist()
     return {"urls": urls, "seconds": dt, "urls_per_sec": urls / max(dt, 1e-9)}

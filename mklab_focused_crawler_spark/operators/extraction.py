@@ -36,6 +36,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MIN_WORDS_PER_BLOCK = 5
 MAX_LINK_DENSITY = 0.5
@@ -199,13 +200,33 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     ]
 
 
-def extract_articles(df: DataFrame, id_col: str = "url", html_col: str = "html") -> DataFrame:
+def extract_articles(
+    df: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, html) → (doc_id, title, is_article, spans, media, media_ids,
-    media_thumbnail). Pure map — join back to metadata by doc_id."""
-    src = df.selectExpr(f"{id_col} as doc_id", f"{html_col} as html")
+    media_thumbnail). Pure map.
+
+    ``passthrough`` columns of ``df`` are carried through the kernel and
+    echoed on the output rows (batch row order is preserved by
+    ``_extract_batch``). This keeps the extract stage a pure narrow map
+    at scale: metadata rides along instead of a post-extraction join —
+    one fewer shuffle (and broadcast build) per crawl iteration."""
+    names = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = [F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")]
+    cols += [F.col(c) for c in passthrough]
+    src = df.select(*cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _extract_batch(pdf)
+            out = _extract_batch(pdf)
+            for c in passthrough:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
 
-    return src.mapInPandas(gen, OUTPUT_SCHEMA)
+    schema = OUTPUT_SCHEMA + "".join(
+        f", {c} {names[c]}" for c in passthrough
+    )
+    return src.mapInPandas(gen, schema)
