@@ -202,14 +202,28 @@ class CrawlLoop:
         window_ms: int = 1000,
         ttl_iterations: int | None = None,
         transport_factory=None,
+        fetch_join: str = "broadcast",
     ):
         """``transport_factory``: when set, the fetch stage runs as the
         injectable-transport mapInPandas UDF (operators/fetch.py —
         WebPageFetcherBolt.java:96-160 shape: per-host politeness delay
         inside the batch, status/error columns) instead of the
         page-store equi-join. ``pages`` then only provides metadata and
-        the redirect map."""
+        the redirect map.
+
+        ``fetch_join``: physical strategy for the page-store fetch join.
+        ``"broadcast"`` (default) broadcasts the politeness-bounded
+        claim batch against the page scan — right for ad-hoc page
+        frames. ``"bucketed"`` expects ``pages`` to be a scan of a
+        table bucketed on ``url`` and runs a storage-partitioned
+        shuffle-hash join instead: only the claim batch shuffles (into
+        the bucket layout), the web streams bucket-by-bucket in place,
+        and there is no per-iteration driver-side broadcast build. This
+        is the 10^10-page shape (bucketed Iceberg pages table) and what
+        the scaling bench exercises."""
         assert seen_filter in (None, "bloom", "cuckoo")
+        assert fetch_join in ("broadcast", "bucketed")
+        self.fetch_join = fetch_join
         self.spark = spark
         self.now_ms = now_ms
         self.n_buckets = n_buckets
@@ -299,7 +313,14 @@ class CrawlLoop:
                 tomb = tomb.filter(
                     F.col("claimed_iter") > F.lit(iteration - self.ttl)
                 )
-            active = active.join(tomb.select("url_hash"), "url_hash", "left_anti")
+            # shuffle_hash: AQE is off in the loop; an unhinted
+            # anti-join would statically plan sort-merge and re-sort
+            # the frontier
+            active = active.join(
+                tomb.select("url_hash").hint("shuffle_hash"),
+                "url_hash",
+                "left_anti",
+            )
         if self.ttl is not None:
             # an expired row and its re-discovered twin can both be
             # active — claim the newest incarnation only
@@ -406,17 +427,33 @@ class CrawlLoop:
         # the claimed batch (per-host politeness inside the batch,
         # status/error columns) — the real-HTTP execution shape.
         if self.transport_factory is None:
-            # Fetch = broadcast the claim batch (politeness-bounded:
-            # ≤ hosts×quota rows) against the page-store scan. The web
-            # side streams through the join in place — never shuffled,
-            # sorted, or heap-cached (see run() — an on-heap web cache
-            # was the measured GC/scaling killer). At 10^10 scale the
-            # equivalent is a storage-partitioned join against the
-            # bucketed Iceberg pages table.
+            # Fetch against the page store. The web side streams through
+            # the join in place — never shuffled, sorted, or heap-cached
+            # (an on-heap web cache was the measured GC/scaling killer).
             pages_sel = pages.select(
                 F.col("url").alias("expanded_url"), "mime", "html", "out_links"
             )
-            fetched = expanded.hint("broadcast").join(pages_sel, "expanded_url").persist()
+            if self.fetch_join == "bucketed":
+                # Storage-partitioned join: pages is bucketed on url, so
+                # the scan satisfies the join's hash distribution as-is;
+                # the claim batch (build side, shuffle_hash hint)
+                # shuffles into the bucket layout and the web streams
+                # bucket-by-bucket. No broadcast build (a per-iteration
+                # single-threaded driver cost), and the join output
+                # inherits the bucket count — which also sets the
+                # parallelism of the downstream extraction kernel.
+                fetched = pages_sel.join(
+                    expanded.hint("shuffle_hash"), "expanded_url"
+                ).persist()
+            else:
+                # Broadcast the politeness-bounded claim batch
+                # (≤ hosts×quota rows — small by construction) against
+                # the page scan.
+                fetched = (
+                    expanded.hint("broadcast")
+                    .join(pages_sel, "expanded_url")
+                    .persist()
+                )
         else:
             from .fetch import fetch_with_transport
 
@@ -650,7 +687,7 @@ class CrawlLoop:
             .agg(F.max("claimed_iter").alias("_tomb_iter"))
         )
         folded = (
-            fr.join(tomb, "url_hash", "left")
+            fr.join(tomb.hint("shuffle_hash"), "url_hash", "left")
             .withColumn(
                 # latest claim wins (greatest skips nulls): under TTL a
                 # row can be re-claimed after an earlier fold, and the
@@ -795,16 +832,30 @@ def scaling_workload(
 
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     web_dir = tempfile.mkdtemp(prefix="crawl_web_", dir=tmp_base)
-    generate_pages(spark, n_pages, n_hosts, min_blocks, mod_blocks).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(web_dir, "pages"))
-    pages = spark.read.parquet(os.path.join(web_dir, "pages"))
+    # The web is a BUCKETED table (hash(url) → 64 buckets), the local
+    # stand-in for the bucketed Iceberg pages table of the design scale:
+    # the fetch join then runs storage-partitioned (fetch_join=
+    # "bucketed" below) — the web is never shuffled OR broadcast-built,
+    # and every iteration's heavy stages run at bucket-count
+    # parallelism. repartition by url first so each task writes exactly
+    # its own bucket file (64 files, not tasks×64).
+    n_web_buckets = 64
+    spark.sql("DROP TABLE IF EXISTS scaling_web")
+    (
+        generate_pages(spark, n_pages, n_hosts, min_blocks, mod_blocks)
+        .repartition(n_web_buckets, "url")
+        .write.mode("overwrite")
+        .bucketBy(n_web_buckets, "url")
+        .option("path", os.path.join(web_dir, "pages"))
+        .saveAsTable("scaling_web")
+    )
+    pages = spark.table("scaling_web")
     robots = generate_robots(spark, n_hosts)
     seeds = generate_seeds(spark, n_pages, n_seeds, n_hosts)
     runs = []
     for _ in range(repeats):
         with tempfile.TemporaryDirectory(prefix="crawl_scale_", dir=tmp_base) as root:
-            loop = CrawlLoop(spark, root, window_ms=10_000)
+            loop = CrawlLoop(spark, root, window_ms=10_000, fetch_join="bucketed")
             loop.init(seeds, pages.select("url", "shares", "pub_ms"))
             loop.run(pages, robots, max_iterations=warmup_iters)
             t0 = time.perf_counter()
@@ -822,6 +873,7 @@ def scaling_workload(
     dt, urls, stats = min(runs, key=lambda r: r[0])
     import shutil
 
+    spark.sql("DROP TABLE IF EXISTS scaling_web")
     shutil.rmtree(web_dir, ignore_errors=True)
     return {
         "urls": urls,

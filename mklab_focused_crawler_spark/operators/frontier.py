@@ -122,13 +122,18 @@ def expand_redirects(
     """Follow redirect chains up to max_hops (URLExpansionBolt.java:30
     ``max_redirects=4``). redirects(src_url, dst_url) is the offline
     stand-in for live Location-header following; each hop is one
-    equi-join (broadcast when small, shuffle-hash otherwise — AQE picks).
+    explicit broadcast equi-join — the redirect map is small by
+    construction (a low single-digit % of URLs 301), the four hops all
+    reuse ONE broadcast exchange, and the crawl loop runs with AQE off
+    so an unhinted plan would fall back to static size estimates (and
+    sort-merge) instead. At live-crawl scale redirects are followed by
+    the fetch transport itself, not this join.
     """
     out = df.withColumn("expanded_url", F.col(url_col))
     for _ in range(max_hops):
         out = (
             out.join(
-                redirects.withColumnRenamed("src_url", "expanded_url"),
+                broadcast(redirects.withColumnRenamed("src_url", "expanded_url")),
                 "expanded_url",
                 "left",
             )

@@ -172,7 +172,7 @@ def filter_unseen(
     """
     if bloom is None:
         return candidates.join(
-            seen.select("url_hash"), "url_hash", "left_anti"
+            _seen_keys(seen), "url_hash", "left_anti"
         )
 
     if broadcast_bloom:
@@ -206,7 +206,7 @@ def filter_unseen(
         )
         definite_new = checked.filter(~F.col("might_contain")).drop("might_contain")
         maybe = checked.filter(F.col("might_contain")).drop("might_contain")
-        confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+        confirmed_new = maybe.join(_seen_keys(seen), "url_hash", "left_anti")
         return definite_new.unionByName(confirmed_new)
 
     def check(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
@@ -230,8 +230,19 @@ def filter_unseen(
     )
     definite_new = checked.filter(~F.col("might_contain")).drop("might_contain")
     maybe = checked.filter(F.col("might_contain")).drop("might_contain")
-    confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    confirmed_new = maybe.join(_seen_keys(seen), "url_hash", "left_anti")
     return definite_new.unionByName(confirmed_new)
+
+
+def _seen_keys(seen: DataFrame) -> DataFrame:
+    """Build side of the exact-confirm anti-joins. shuffle_hash hint:
+    the crawl loop runs with AQE off (see CrawlLoop.run), so an
+    unhinted anti-join against the big seen table statically plans as
+    sort-merge — re-SORTING the frontier keys every iteration. A
+    shuffle-hash build of bare 8-byte keys is one hash table of
+    n_seen/partitions entries per task: cheap at any scale, never
+    sorts."""
+    return seen.select("url_hash").hint("shuffle_hash")
 
 
 def first_seen_wins(new_rows: DataFrame) -> DataFrame:

@@ -182,11 +182,19 @@ def generate_robots(spark: SparkSession, n_hosts: int = N_HOSTS_DEFAULT) -> Data
 def generate_seeds(
     spark: SparkSession, n_pages: int, n_seeds: int, n_hosts: int = N_HOSTS_DEFAULT
 ) -> DataFrame:
-    """Deterministic seed list: every ⌊n_pages/n_seeds⌋-th page."""
+    """Deterministic seed list: every ⌊n_pages/n_seeds⌋-th page.
+
+    The bound is expressed in the range itself rather than ``.limit()``:
+    a global limit funnels the whole seed chain through ONE partition,
+    and every downstream transform (canonicalize, hash, score join)
+    inherits that single task. ``rank`` is the seed ordinal ``i/step``
+    — partitioning-independent, unlike monotonically_increasing_id."""
     step = max(1, n_pages // n_seeds)
-    df = spark.range(0, n_pages, step).limit(n_seeds).withColumnRenamed("id", "i")
+    df = spark.range(0, min(n_pages, step * n_seeds), step).withColumnRenamed(
+        "id", "i"
+    )
     i = F.col("i")
     return df.select(
         _url(i, n_hosts).alias("url"),
-        F.monotonically_increasing_id().alias("rank"),
+        (i / step).cast("long").alias("rank"),
     )

@@ -145,3 +145,39 @@ def test_determinism_across_shuffle_parallelism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and len(a) > 0
+
+
+def test_bucketed_fetch_join_is_storage_partitioned(spark, tmp_path):
+    """fetch_join="bucketed" (the 10^10-page shape): the web scan side
+    must reach the shuffled-hash fetch join WITHOUT an exchange — the
+    bucketed layout satisfies the join's hash distribution — and the
+    web must never be broadcast-built. Only the claim batch shuffles."""
+    from mklab_focused_crawler_spark.sources.synthetic_web import generate_pages
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        (
+            generate_pages(spark, 500)
+            .repartition(4, "url")
+            .write.mode("overwrite")
+            .bucketBy(4, "url")
+            .option("path", str(tmp_path / "web"))
+            .saveAsTable("test_bucketed_web")
+        )
+        pages = spark.table("test_bucketed_web")
+        claimed = (
+            pages.select("url").limit(50).withColumnRenamed("url", "expanded_url")
+        )
+        joined = pages.select(
+            F.col("url").alias("expanded_url"), "mime", "html"
+        ).join(claimed.hint("shuffle_hash"), "expanded_url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "Broadcast" not in plan
+        # exactly one shuffle: the claim side into the bucket layout
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS test_bucketed_web")
