@@ -466,6 +466,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_counts": _q_domain_counts,
     "entities": _q_entities,
     "pos_tags": _q_pos_tags,
+    "stream_users": lambda s, d: multimodal.first_seen_users(
+        load_table(s, d, "events")
+    ),
 }
 
 ORACLES: dict[str, str] = {
@@ -526,6 +529,20 @@ ORACLES: dict[str, str] = {
     "domain_counts": trending.domain_counts_sql(_synth_url_sql("event_id")),
     "entities": __import__("mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]).entity_counts_sql(),
     "pos_tags": __import__("mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]).pos_tag_counts_sql(),
+    # StreamUser insert-if-absent (MediaUpdaterBolt.java:116-126): the
+    # surviving row per user is the first event's in (ts, event_id) order
+    "stream_users": """
+        SELECT user_id, first_ts, first_event_id, n_events FROM (
+            SELECT user_id,
+                   epoch_ms(ts) AS first_ts,
+                   event_id AS first_event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        ) WHERE rn = 1
+    """,
 }
 
 

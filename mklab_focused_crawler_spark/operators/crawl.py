@@ -15,12 +15,18 @@ one deterministic BSP super-step over snapshot-committed tables
                   stands in for HTTP; WebPageFetcherBolt.java). MIME
                   gate text/html (WebPageFetcherBolt.java:215-222).
 4. **extract**  — vectorized boilerpipe-style span extraction
-                  (operators/extraction.py; ArticleExtractionBolt).
-5. **discover** — out-links → canonicalize → filter-pruned seen gate
-                  (operators/seen.py bloom or operators/cuckoo.py;
-                  StatusCheckBolt first-seen-wins) → batch dedup →
-                  score (RankerBolt formula) → schedule.
-6. **commit**   — documents/frontier/claims/metrics snapshot commits
+                  (operators/extraction.py; ArticleExtractionBolt);
+                  crawl metadata AND out-links ride through the kernel
+                  as passthrough columns, and the extracted rows commit
+                  straight to the documents table — claim→fetch→
+                  extract→commit is ONE Spark action, with batch
+                  counters collected on the way as observe() metrics.
+5. **discover** — incremental (changelog) re-read of the just-committed
+                  document batch → explode out-links → canonicalize →
+                  filter-pruned seen gate (operators/seen.py bloom or
+                  operators/cuckoo.py; StatusCheckBolt first-seen-wins)
+                  → batch dedup → score (RankerBolt formula) → schedule.
+6. **commit**   — frontier/claims/metrics snapshot commits
                   (storage/snapshot.py). Resume = re-read CURRENT.
 
 Determinism: crawl order is the *defined* sort (score desc, url_hash
@@ -67,7 +73,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scoring
@@ -163,27 +169,6 @@ def _candidate_keys(urls_df: DataFrame, n_buckets: int) -> DataFrame:
     """url (+ ns/ph discovery-priority columns) → + canonical_url /
     url_hash / bucket."""
     return with_seen_key(urls_df, "url", n_buckets)
-
-
-def _partition_lineage(df: DataFrame, iteration: int, stage: str) -> DataFrame:
-    return (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .select(
-            F.lit(iteration).alias("iteration"),
-            F.lit(stage).alias("stage"),
-            "partition_id",
-            "rows",
-        )
-    )
-
-
-def _lineage_rows(df: DataFrame, iteration: int, stage: str) -> tuple[list, int]:
-    """Collect the per-partition lineage rows once and derive the stage
-    row count from them — one job instead of a count() plus a lineage
-    aggregation."""
-    rows = _partition_lineage(df, iteration, stage).collect()
-    return rows, sum(r["rows"] for r in rows)
 
 
 class CrawlLoop:
@@ -404,10 +389,15 @@ class CrawlLoop:
         # while everything downstream is per-row work.
         n_parts = self.spark.sparkContext.defaultParallelism
         fr = self.frontier.read(self.spark)  # one read per iteration
+        # batch counters are observe() metrics collected as a side
+        # effect of the commit jobs — no dedicated count/collect job
+        # ever runs in the iteration
+        obs_claim = Observation()
         claimed = (
             claim_batch(self.active_frontier(iteration, fr), robots, self.window_ms)
             .drop("first_seen_iter", "claimed_iter")
             .repartition(n_parts)
+            .observe(obs_claim, F.count(F.lit(1)).alias("n_claimed"))
             .persist()
         )
 
@@ -416,44 +406,42 @@ class CrawlLoop:
             "final_url", canonicalize_url(F.col("expanded_url"))
         )
 
-        # 3. fetch. Default: INNER join of the (small, broadcastable)
-        # claimed batch against the page store on the expanded URL.
-        # Inner, not left: a left join forces the page store to the
-        # build/shuffle side — sort-merge-shuffling the whole web (html
-        # included) every iteration. Inner lets AQE broadcast the
-        # claimed side and stream the page scan in place; "missing"
-        # fetches fall out of the row-count arithmetic instead.
+        # 3. fetch. Default: INNER join of the claimed batch against
+        # the page store on the expanded URL. Inner, not left: a left
+        # join forces the page store to the build/shuffle side —
+        # sort-merge-shuffling the whole web (html included) every
+        # iteration; "missing" fetches fall out of the row-count
+        # arithmetic instead.
         # With a transport_factory, fetch is the mapInPandas UDF over
         # the claimed batch (per-host politeness inside the batch,
-        # status/error columns) — the real-HTTP execution shape.
+        # status/error columns) — the real-HTTP execution shape. Either
+        # way the fetch output has exactly ONE consumer (the extraction
+        # job below), so nothing html-bearing is ever cached: columnar-
+        # caching multi-GB html was the measured bandwidth term capping
+        # core scaling, and a transport must fetch each URL exactly
+        # once per iteration.
+        obs_batch = Observation()
         if self.transport_factory is None:
-            # Fetch against the page store. The web side streams through
-            # the join in place — never shuffled, sorted, or heap-cached
-            # (an on-heap web cache was the measured GC/scaling killer).
             pages_sel = pages.select(
                 F.col("url").alias("expanded_url"), "mime", "html", "out_links"
             )
             if self.fetch_join == "bucketed":
-                # Storage-partitioned join: pages is bucketed on url, so
-                # the scan satisfies the join's hash distribution as-is;
-                # the claim batch (build side, shuffle_hash hint)
-                # shuffles into the bucket layout and the web streams
-                # bucket-by-bucket. No broadcast build (a per-iteration
-                # single-threaded driver cost), and the join output
-                # inherits the bucket count — which also sets the
-                # parallelism of the downstream extraction kernel.
+                # Storage-partitioned join: pages is bucketed on url,
+                # so the scan satisfies the join's hash distribution
+                # as-is; the claim batch (build side, shuffle_hash
+                # hint) shuffles into the bucket layout and the web
+                # streams bucket-by-bucket. No broadcast build (a
+                # per-iteration single-threaded driver cost), and the
+                # join output inherits the bucket count — which also
+                # sets the parallelism of the extraction kernel.
                 fetched = pages_sel.join(
                     expanded.hint("shuffle_hash"), "expanded_url"
-                ).persist()
+                )
             else:
                 # Broadcast the politeness-bounded claim batch
                 # (≤ hosts×quota rows — small by construction) against
                 # the page scan.
-                fetched = (
-                    expanded.hint("broadcast")
-                    .join(pages_sel, "expanded_url")
-                    .persist()
-                )
+                fetched = expanded.hint("broadcast").join(pages_sel, "expanded_url")
         else:
             from .fetch import fetch_with_transport
 
@@ -466,117 +454,34 @@ class CrawlLoop:
                 self.transport_factory,
                 url_col="expanded_url",
             )
-            fetched = (
-                raw.filter(F.col("status") == 200)
-                .drop("status", "fetch_ms", "fetch_error", "crawl_delay_ms")
-                .persist()
+            fetched = raw.filter(F.col("status") == 200).drop(
+                "status", "fetch_ms", "fetch_error", "crawl_delay_ms"
             )
+        # fetch counters ride the extraction job (CollectMetrics is a
+        # predicate-pushdown barrier, so the mime gate below cannot
+        # leak into the counts)
+        fetched = fetched.observe(
+            obs_batch,
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.sum((F.col("mime") != "text/html").cast("long")).alias("n_rej"),
+        )
         ok = fetched.filter(F.col("mime") == "text/html")
 
-        # 5a. discover: explode out-links; carry the discovering claim's
-        # sort key (ns, ph) — order-isomorphic to its crawl rank — as
-        # the first-seen priority. Filter-prune BEFORE the dedup shuffle.
-        links = ok.select(
-            F.explode("out_links").alias("url"),
-            (-F.col("score")).alias("ns"),
-            F.col("url_hash").alias("ph"),
-        )
-        # persist: filter_unseen's definite-new/confirmed-new union
-        # references the candidate chain from two branches — without
-        # materialization the whole explode+canonicalize+hash pipeline
-        # (the iteration's widest map stage) executes twice
-        cand = _candidate_keys(links, self.n_buckets).persist()
-        seen = self.seen_df(iteration, fr)
-        incremental = self._n_seen >= FILTER_INCREMENTAL_MIN_KEYS
-        if self.seen_filter == "bloom":
-            bloom = self._filter_df(iteration, incremental, fr)
-            use_broadcast = (
-                self._n_seen * 1.2 * 12 / 8  # keys → approx filter bytes
-            ) <= BROADCAST_BLOOM_MAX_BYTES
-            pruned = filter_unseen(cand, seen, bloom, broadcast_bloom=use_broadcast)
-        elif self.seen_filter == "cuckoo":
-            filt = self._filter_df(iteration, incremental, fr).persist()
-            pruned = filter_unseen_cuckoo(cand, seen, filt)
-        else:
-            pruned = filter_unseen(cand, seen, None)
-        new_urls = (
-            score_candidates(
-                dedup_first_seen(pruned).drop("ns", "ph"), meta, self.now_ms
-            )
-            .withColumn("first_seen_iter", F.lit(iteration + 1))
-            .withColumn("claimed_iter", F.lit(None).cast("int"))
-            .select(*_FRONTIER_COLS)
-            .persist()
-        )
-        # ---- ONE materialization job for claim+fetch+discover: the
-        # lineage/stat aggregates of all three stages union into a
-        # single action, so Spark pipelines the whole super-step and the
-        # per-job fixed cost (planning, codegen, scheduling, cache-read
-        # barriers) is paid once. Shared persisted frames become shared
-        # stages inside the job — nothing computes twice.
-        fetch_stats = (
-            fetched.agg(
-                F.count(F.lit(1)).alias("n_fetched"),
-                F.sum((F.col("mime") != "text/html").cast("int")).alias("rej"),
-            )
-            .select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.lit("fetched").alias("stage"),
-                            F.col("n_fetched").cast("long").alias("rows"),
-                        ),
-                        F.struct(
-                            F.lit("mime_rejected").alias("stage"),
-                            F.coalesce(F.col("rej"), F.lit(0)).cast("long").alias("rows"),
-                        ),
-                    )
-                ).alias("s")
-            )
-            .select(
-                F.lit(iteration).alias("iteration"),
-                F.col("s.stage").alias("stage"),
-                F.lit(-1).alias("partition_id"),
-                F.col("s.rows").alias("rows"),
-            )
-        )
-        jd("stats")
-        stats_rows = (
-            _partition_lineage(claimed, iteration, "claimed")
-            .unionByName(fetch_stats)
-            .unionByName(_partition_lineage(new_urls, iteration, "scheduled"))
-            .collect()
-        )
-        cand.unpersist()  # new_urls is materialized; cand no longer needed
-        by_stage: dict[str, int] = {}
-        for r in stats_rows:
-            by_stage[r["stage"]] = by_stage.get(r["stage"], 0) + r["rows"]
-        n_claimed = int(by_stage.get("claimed", 0))
-        n_new = int(by_stage.get("scheduled", 0))
-        n_mime_rejected = int(by_stage.get("mime_rejected", 0))
-        n_missing = n_claimed - int(by_stage.get("fetched", 0))
-        lineage_rows = [
-            r for r in stats_rows if r["stage"] in ("claimed", "scheduled")
-        ]
-        lap("materialize")
-        if n_claimed == 0:
-            for df in (claimed, fetched, new_urls):
-                df.unpersist()
-            if self.seen_filter == "cuckoo":
-                filt.unpersist()
-            return {"iteration": iteration, "claimed": 0, "done": True}
-
         # 4. extract spans. Crawl metadata (source url/host/score/hash)
-        # rides THROUGH the extraction kernel as passthrough columns —
-        # the whole extract+commit path is one narrow map over the
-        # cached fetch partitions; no post-extraction join, no shuffle,
-        # no broadcast build. (An earlier rejoin-by-row_key version cost
-        # one join per iteration — measured as a top serial term.)
+        # AND the page's out-links ride THROUGH the extraction kernel as
+        # passthrough columns — no post-extraction join, and the
+        # committed document rows double as the discovery source (the
+        # out_links column is what a production crawler persists
+        # anyway). This docs commit is THE materialization job of the
+        # super-step: claim windows → redirect hops → fetch join →
+        # extraction pipeline as a single action, with the claim/fetch
+        # counters collected on the way through as observe() metrics —
+        # no dedicated stats/count job exists anywhere in the loop.
         docs = extract_articles(
             ok,
             id_col="final_url",
             html_col="html",
-            passthrough=("canonical_url", "host", "score", "url_hash"),
+            passthrough=("canonical_url", "host", "score", "url_hash", "out_links"),
         )
         doc_rows = (
             docs.withColumnRenamed("canonical_url", "source_url")
@@ -596,11 +501,17 @@ class CrawlLoop:
         # confirms), never drop a truly-new URL.
         jd("docs")
         if self.ttl is None:
-            self.documents.append(doc_rows)
+            doc_snap = self.documents.append(doc_rows)
+            batch_cached = None
         else:
             # re-crawl upsert (WebPagesUpdaterBolt.java:70-92): one
-            # deterministic winner per doc_id in the batch, then MERGE
-            batch = (
+            # deterministic winner per doc_id in the batch, then MERGE.
+            # persist: merge's touched-partition discovery is a second
+            # action over the batch — without the cache it would re-run
+            # the fetch join / transport (a transport must fetch each
+            # URL exactly once per iteration). doc rows carry no html,
+            # so this cache is narrow.
+            batch_cached = (
                 doc_rows.groupBy("doc_id")
                 .agg(
                     F.min(
@@ -612,9 +523,75 @@ class CrawlLoop:
                 )
                 .select("doc_id", "_w.*")
                 .select(*doc_rows.columns)
+                .persist()
             )
-            self.documents.merge(self.spark, batch, key="doc_id")
+            doc_snap = self.documents.merge(self.spark, batch_cached, key="doc_id")
+        n_claimed = int(obs_claim.get["n_claimed"])
+        mb = obs_batch.get
+        n_fetched = int(mb["n_fetched"] or 0)
+        n_mime_rejected = int(mb["n_rej"] or 0)
+        n_missing = n_claimed - n_fetched
         lap("extract_commit")
+        if n_claimed == 0:
+            # undo the (empty) docs commit: an empty partitioned write
+            # leaves a schema-less data dir that would poison later
+            # reads, and a drained iteration must leave no trace
+            if doc_snap > 1:
+                self.documents.rollback_to(doc_snap - 1)
+            claimed.unpersist()
+            if batch_cached is not None:
+                batch_cached.unpersist()
+            return {"iteration": iteration, "claimed": 0, "done": True}
+
+        # 5. discover: read BACK the just-committed document batch —
+        # an incremental (changelog) scan of only the new files, columnar
+        # and narrow (out_links/score/src_hash; the html never
+        # re-materializes) — and explode out-links, carrying the
+        # discovering claim's sort key (ns, ph) — order-isomorphic to
+        # its crawl rank — as the first-seen priority. Re-reading what
+        # we just wrote costs one parquet scan of the batch and buys a
+        # single fetch per URL per iteration: the round-1 alternative
+        # (persist the fetch output and run discover off the cache) held
+        # multi-GB html on the JVM heap, and the GC pauses erased the
+        # 8→32-core scaling.
+        jd("discover")
+        committed = self.documents.read_appended(self.spark, doc_snap).filter(
+            F.col("iteration") == F.lit(iteration)
+        )
+        links = committed.select(
+            F.explode("out_links").alias("url"),
+            (-F.col("score")).alias("ns"),
+            F.col("src_hash").alias("ph"),
+        )
+        # persist: filter_unseen's definite-new/confirmed-new union
+        # references the candidate chain from two branches — without
+        # materialization the whole explode+canonicalize+hash pipeline
+        # (the iteration's widest map stage) executes twice
+        cand = _candidate_keys(links, self.n_buckets).persist()
+        seen = self.seen_df(iteration, fr)
+        incremental = self._n_seen >= FILTER_INCREMENTAL_MIN_KEYS
+        if self.seen_filter == "bloom":
+            bloom = self._filter_df(iteration, incremental, fr)
+            use_broadcast = (
+                self._n_seen * 1.2 * 12 / 8  # keys → approx filter bytes
+            ) <= BROADCAST_BLOOM_MAX_BYTES
+            pruned = filter_unseen(cand, seen, bloom, broadcast_bloom=use_broadcast)
+        elif self.seen_filter == "cuckoo":
+            filt = self._filter_df(iteration, incremental, fr).persist()
+            pruned = filter_unseen_cuckoo(cand, seen, filt)
+        else:
+            pruned = filter_unseen(cand, seen, None)
+        obs_sched = Observation()
+        new_urls = (
+            score_candidates(
+                dedup_first_seen(pruned).drop("ns", "ph"), meta, self.now_ms
+            )
+            .withColumn("first_seen_iter", F.lit(iteration + 1))
+            .withColumn("claimed_iter", F.lit(None).cast("int"))
+            .select(*_FRONTIER_COLS)
+            .observe(obs_sched, F.count(F.lit(1)).alias("n_new"))
+            .persist()
+        )
 
         jd("filter")
         if self.seen_filter and incremental:
@@ -637,6 +614,8 @@ class CrawlLoop:
         # per-task files just add scheduler + committer overhead
         jd("frontier")
         self.frontier.append(new_urls.coalesce(8))
+        cand.unpersist()  # new_urls is materialized; cand no longer needed
+        n_new = int(obs_sched.get["n_new"])
         jd("claims")
         self.claims.append(
             claimed.select(
@@ -646,7 +625,12 @@ class CrawlLoop:
         jd("metrics")
         self.metrics.append(
             self.spark.createDataFrame(
-                lineage_rows,
+                [
+                    (iteration, "claimed", -1, n_claimed),
+                    (iteration, "fetched", -1, n_fetched),
+                    (iteration, "mime_rejected", -1, n_mime_rejected),
+                    (iteration, "scheduled", -1, n_new),
+                ],
                 "iteration int, stage string, partition_id int, rows long",
             )
         )
@@ -658,7 +642,8 @@ class CrawlLoop:
         lap("commit")
 
         claimed.unpersist()
-        fetched.unpersist()
+        if batch_cached is not None:
+            batch_cached.unpersist()
         new_urls.unpersist()
         return {
             "iteration": iteration,

@@ -243,3 +243,34 @@ def update_media_and_users(
     media_table.merge(spark, items.select(*media_cols), key=media_key)
     users = items.select(*user_cols).filter(F.col(user_cols[0]).isNotNull())
     users_table.merge_if_absent(spark, users, key=user_cols[0])
+
+
+def first_seen_users(events) -> "DataFrame":
+    """The StreamUser table a stream of items builds up under
+    insert-if-absent semantics (MediaUpdaterBolt.java:116-126: a media
+    item's user is saved only when no row with that id exists — later
+    items never overwrite it). Processing events in (ts, event_id)
+    order, the surviving row per user is therefore the FIRST event's —
+    expressed as one groupBy with a struct-min (pairwise-lexicographic,
+    deterministic: ties on ts resolve by event_id), plus the rolling
+    item count the reference's DAO accumulates.
+
+    One shuffle on user_id with a partial (map-side) min/count — scales
+    to any event volume; no window, no sort of the full stream."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("_f"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            # epoch millis, the cross-engine ts convention (the parquet
+            # ts is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP)
+            F.unix_millis(F.col("_f.ts").cast("timestamp")).alias("first_ts"),
+            F.col("_f.event_id").alias("first_event_id"),
+            "n_events",
+        )
+    )

@@ -132,6 +132,25 @@ class SnapshotTable:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def read_appended(self, spark: SparkSession, snapshot: int) -> DataFrame:
+        """Incremental read: only the data files ADDED by ``snapshot``
+        relative to its parent — Iceberg's incremental/changelog scan.
+        O(batch), never O(table): the crawl loop uses this to re-read the
+        document rows it just committed (narrow columnar projection)
+        without listing or filtering the whole table. For a
+        ``replace_partitions``/``merge`` snapshot the new file holds the
+        merged *partitions* (old rows of touched partitions included) —
+        filter by a batch predicate if exact batch rows are needed."""
+        files = {self._entry_path(e) for e in self._manifest(snapshot)["files"]}
+        prev: set[str] = set()
+        if snapshot > 1 and os.path.exists(
+            os.path.join(self.snap_dir, f"{snapshot - 1:07d}.json")
+        ):
+            prev = {
+                self._entry_path(e) for e in self._manifest(snapshot - 1)["files"]
+            }
+        return spark.read.parquet(*sorted(files - prev))
+
     def replace_partitions(
         self, spark: SparkSession, df: DataFrame, partition_values: dict
     ) -> int:
