@@ -23,12 +23,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Levels are CPU-pinned (see run_level): each level emulates a cluster
+# with exactly N cores total, and both levels leave spare host cores so
+# neither one is distorted by OS/GC/python-worker threads overflowing —
+# the faithful N-vs-4N emulation on one 32-CPU box. These defaults ARE
+# the documented BENCH/BASELINE.md protocol; override via env to
+# explore other points.
 LEVELS = tuple(
-    int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+    int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
 )
-N_PAGES = int(os.environ.get("SCALING_N_PAGES", "4000000"))
-N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "200000"))
-N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "1600000"))
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "1000000"))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "50000"))
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "400000"))
 
 
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
@@ -147,8 +153,11 @@ window, best of 2 repeats per level (the workload is deterministic —
 URL counts are asserted identical across repeats; best-of-N rejects
 co-tenant noise). Each level runs in a fresh JVM subprocess.
 
-Machine: {platform.platform()}, {nproc} CPUs. Spark local mode,
-`spark.sql.shuffle.partitions` = core count, AQE on.
+Machine: {platform.platform()}, {nproc} CPUs. Spark local mode; each
+level CPU-pinned to exactly its core count (sched_setaffinity — task
+slots, GC, shuffle and Python-UDF workers all share the N cores, as on
+a real N-core cluster node). `spark.sql.shuffle.partitions` = core
+count; AQE off inside crawl super-steps (see PLANS.md #7).
 
 | level | URLs (timed) | seconds | URLs/sec |
 |---|---|---|---|

@@ -612,26 +612,37 @@ class CrawlLoop:
         # narrow-table writes coalesce to a handful of files: these
         # frames sit in cache at full core-count partitioning, and tiny
         # per-task files just add scheduler + committer overhead
+        lap("filter")
         jd("frontier")
         self.frontier.append(new_urls.coalesce(8))
         cand.unpersist()  # new_urls is materialized; cand no longer needed
         n_new = int(obs_sched.get["n_new"])
+        lap("frontier")
         jd("claims")
         self.claims.append(
             claimed.select(
                 "url_hash", "bucket", F.lit(iteration).alias("claimed_iter")
             ).coalesce(4)
         )
+        lap("claims")
         jd("metrics")
-        self.metrics.append(
-            self.spark.createDataFrame(
-                [
-                    (iteration, "claimed", -1, n_claimed),
-                    (iteration, "fetched", -1, n_fetched),
-                    (iteration, "mime_rejected", -1, n_mime_rejected),
-                    (iteration, "scheduled", -1, n_new),
-                ],
-                "iteration int, stage string, partition_id int, rows long",
+        # driver-side Arrow write: these 4 rows already live on the
+        # driver (observe() metrics) — no Spark job for the commit
+        import pyarrow as pa
+
+        self.metrics.append_arrow(
+            pa.table(
+                {
+                    "iteration": pa.array([iteration] * 4, pa.int32()),
+                    "stage": pa.array(
+                        ["claimed", "fetched", "mime_rejected", "scheduled"]
+                    ),
+                    "partition_id": pa.array([-1] * 4, pa.int32()),
+                    "rows": pa.array(
+                        [n_claimed, n_fetched, n_mime_rejected, n_new],
+                        pa.int64(),
+                    ),
+                }
             )
         )
         self._n_seen += n_new
@@ -756,6 +767,39 @@ class CrawlLoop:
         if self._meta is not None:
             self._meta.unpersist()
             self._meta = None
+
+    # ------------------------------------------------------------------
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage: (table, iteration, file, rows) for
+        every committed segment file. Derived at read time from the
+        snapshot tables themselves — each parquet part file is exactly
+        one writer partition, so the committed files ARE the lineage.
+        Round 1 collected per-partition counts inside the iteration (one
+        extra job per super-step of core-count-independent driver time);
+        deriving on demand costs the hot path nothing and survives
+        resume (it reads the same snapshots the resume path reads)."""
+        specs = (
+            ("documents", self.documents, "iteration"),
+            ("frontier", self.frontier, "first_seen_iter"),
+            ("claims", self.claims, "claimed_iter"),
+        )
+        parts = []
+        for name, tbl, itcol in specs:
+            if not tbl.exists():
+                continue
+            parts.append(
+                tbl.read(self.spark)
+                # materialize first: input_file_name is nondeterministic,
+                # so it cannot appear directly in a grouping expression
+                .withColumn("file", F.input_file_name())
+                .groupBy("file", F.col(itcol).alias("iteration"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .select(F.lit(name).alias("table"), "iteration", "file", "rows")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------------
     def crawl_log(self) -> DataFrame:

@@ -42,6 +42,11 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # diagnostics hook: SPARK_GRAFT_CONF="k=v;k=v" (e.g. event log for
+    # per-job utilization profiling) without touching call sites
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

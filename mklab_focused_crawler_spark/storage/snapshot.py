@@ -132,6 +132,24 @@ class SnapshotTable:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def append_arrow(self, table) -> int:
+        """Driver-side append of a small Arrow table (metrics-sized
+        metadata that already lives on the driver) — one parquet file
+        written directly, no Spark job. Same snapshot/commit protocol;
+        read() sees it like any other segment. The crawl loop uses this
+        for its 4-row per-iteration metrics commit: routing driver-local
+        rows through a Spark write costs a whole job of core-count-
+        independent scheduling time per iteration."""
+        import pyarrow.parquet as pq
+
+        cur = self.current_snapshot()
+        files = self._manifest(cur)["files"] if cur else []
+        nxt = (cur or 0) + 1
+        d = os.path.join(self.data_dir, f"{nxt:07d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+        return self._commit(files + [d], "append")
+
     def read_appended(self, spark: SparkSession, snapshot: int) -> DataFrame:
         """Incremental read: only the data files ADDED by ``snapshot``
         relative to its parent — Iceberg's incremental/changelog scan.

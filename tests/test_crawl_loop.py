@@ -174,6 +174,30 @@ def test_crawl_drains_to_reachable_set(spark, tmp_path):
         r["canonical_url"] for r in loop.seen_df().select("canonical_url").collect()
     }
     assert got_seen == scheduled
+    # per-partition lineage (derived from committed segment files)
+    # reconciles with the metrics totals per table
+    lin = loop.lineage().collect()
+    assert {r["table"] for r in lin} >= {"documents", "frontier"}
+    doc_rows_per_iter = {}
+    for r in lin:
+        if r["table"] == "documents":
+            doc_rows_per_iter[r["iteration"]] = (
+                doc_rows_per_iter.get(r["iteration"], 0) + r["rows"]
+            )
+    fetched_per_iter = {
+        r["iteration"]: r["rows"]
+        for r in loop.metrics.read(spark)
+        .filter(F.col("stage") == "fetched")
+        .collect()
+    }
+    mime_rej = {
+        r["iteration"]: r["rows"]
+        for r in loop.metrics.read(spark)
+        .filter(F.col("stage") == "mime_rejected")
+        .collect()
+    }
+    for it, n in doc_rows_per_iter.items():
+        assert n == fetched_per_iter[it] - mime_rej[it]
     pages.unpersist()
 
 
