@@ -24,17 +24,12 @@ from mklab_focused_crawler_spark.operators import (
     trending,
 )
 from mklab_focused_crawler_spark.functions import scoring, text, urls
-from mklab_focused_crawler_spark.functions.text import (
-    STOPWORDS,
-    TOKEN_SPLIT_RE,
-)
+from mklab_focused_crawler_spark.functions.text import STOPWORDS
 from mklab_focused_crawler_spark.sources.tables import load_table
 
 from pyspark.sql import functions as F
 
-_TOKS_SQL = (
-    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
-)
+_TOKS_SQL = text.tokenize_sql("text")
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
@@ -137,7 +132,7 @@ def _q_url_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         plat.alias("platform"),
         mid.alias("media_id"),
         (F.length("url") <= urls.MAX_URL_LENGTH).alias("url_ok"),
-    ).orderBy("doc_id")
+    )
 
 
 # 2024-02-01T00:00:00Z — strictly after max(events.ts) at every sf
@@ -158,7 +153,7 @@ def _q_page_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("score"),
         F.round(scoring.shares_score(F.col("user_id")), 9).alias("shares_score"),
-    ).orderBy("event_id")
+    )
 
 
 # ---- dedup suite (operators/dedup.py) -----------------------------------
@@ -224,7 +219,7 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_score(t).alias("quality"),
         text.lang_id(t).alias("lang_pred"),
         text.fingerprint(t).alias("fingerprint"),
-    ).orderBy("doc_id")
+    )
 
 
 _T = "coalesce(text, '')"
@@ -248,7 +243,6 @@ def _q_span_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         explode_spans(build_spans(docs))
         .select("doc_id", "offset", "kind", "text", "media_ref")
-        .orderBy("doc_id", "offset")
     )
 
 
@@ -333,7 +327,6 @@ def _q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= F.col("_quota"))
         .select("doc_id", "url", "host", "score", "rank")
-        .orderBy("host", "rank")
     )
 
 
@@ -416,7 +409,6 @@ def _q_json_ingress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parsed.filter(F.col("p").isNotNull())
         .select("event_id", F.col("p.k").alias("k"))
-        .orderBy("event_id")
     )
 
 

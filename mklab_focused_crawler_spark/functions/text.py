@@ -32,19 +32,39 @@ LANG_MARKERS = {
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """Portable ASCII-only lowercase. Engine `lower()` is locale/Unicode-
+    sensitive and NOT cross-engine stable (Spark's Java toLowerCase maps
+    İ→i+combining-dot and final Σ→ς; DuckDB maps İ→i, Σ→σ — found by the
+    hypothesis fuzz layer). translate over A-Z is per-character and
+    identical everywhere; for tokenize the semantics are unchanged
+    (non-ASCII chars are token separators either way)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _UPPER, _LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    return f"translate({expr}, '{_UPPER}', '{_LOWER}')"
+
 
 def tokenize(col: Column | str) -> Column:
-    """lower → split on non-alphanumeric → drop empties.
+    """ascii_lower → split on non-alphanumeric → drop empties.
 
-    DuckDB: list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '')
+    DuckDB: list_filter(string_split_regex(<ascii_lower>, '[^a-z0-9]+'), t -> t <> '')
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+    return F.filter(
+        F.split(ascii_lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
 
 
 def tokenize_sql(expr: str) -> str:
     return (
-        f"list_filter(string_split_regex(lower({expr}), '[^a-z0-9]+'), t -> t <> '')"
+        f"list_filter(string_split_regex({ascii_lower_sql(expr)}, '[^a-z0-9]+'), t -> t <> '')"
     )
 
 
@@ -119,7 +139,7 @@ def quality_score(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     toks = tokenize(c)
     len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-    alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    alnum = F.length(F.regexp_replace(ascii_lower(c), "[^a-z0-9]", ""))
     density = F.when(F.length(c) > 0, alnum / F.length(c)).otherwise(F.lit(0.0))
     stop = stopword_ratio(toks)
     stop_score = F.least(stop * F.lit(4.0), F.lit(1.0))
@@ -132,7 +152,7 @@ def quality_score_sql(expr: str) -> str:
     return (
         "round(("
         f"least(len({toks}) / 100.0, 1.0) + "
-        f"(CASE WHEN length({expr}) > 0 THEN length(regexp_replace(lower({expr}), '[^a-z0-9]', '', 'g')) * 1.0 / length({expr}) ELSE 0.0 END) + "
+        f"(CASE WHEN length({expr}) > 0 THEN length(regexp_replace({ascii_lower_sql(expr)}, '[^a-z0-9]', '', 'g')) * 1.0 / length({expr}) ELSE 0.0 END) + "
         f"least((CASE WHEN len({toks}) > 0 THEN len(list_filter({toks}, t -> list_contains({stoplist}, t))) * 1.0 / len({toks}) ELSE 0.0 END) * 4.0, 1.0)"
         ") / 3.0, 6)"
     )

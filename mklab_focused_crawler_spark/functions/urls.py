@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .text import ascii_lower, ascii_lower_sql
+
 # URLExpansionBolt.java:42-47
 MEDIA_DOMAINS = (
     "vimeo.com",
@@ -67,7 +69,9 @@ def canonicalize_url(col: Column | str) -> Column:
     # split: scheme, authority(host[:port]), rest
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    auth = F.lower(F.regexp_extract(after, r"^([^/?#]+)", 1))
+    # ascii_lower: authority may contain non-ASCII (IDN); engine lower()
+    # is Unicode-divergent cross-engine (functions/text.ascii_lower)
+    auth = ascii_lower(F.regexp_extract(after, r"^([^/?#]+)", 1))
     auth = F.regexp_replace(auth, r":80$|:443$", "")
     rest = F.regexp_replace(after, r"^[^/?#]+", "")
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
@@ -95,13 +99,17 @@ def canonicalize_url(col: Column | str) -> Column:
 
 def canonicalize_url_sql(expr: str) -> str:
     """DuckDB twin of canonicalize_url (same step order)."""
-    u = f"trim({expr})"
+    # trim(x, ' '): DuckDB's one-arg trim strips Unicode whitespace
+    # (NBSP included); Spark's F.trim strips ASCII space only — pin the
+    # twin to the Spark semantics (found by the hypothesis fuzz layer)
+    u = f"trim({expr}, ' ')"
     u = f"replace({u}, ' ', '%20')"
     u = f"replace({u}, '|', '%7C')"
     u = f"regexp_replace({u}, '#.*$', '')"
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     after = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
-    auth = f"regexp_replace(lower(regexp_extract({after}, '^([^/?#]+)', 1)), ':80$|:443$', '')"
+    auth_low = ascii_lower_sql(f"regexp_extract({after}, '^([^/?#]+)', 1)")
+    auth = f"regexp_replace({auth_low}, ':80$|:443$', '')"
     rest = f"regexp_replace({after}, '^[^/?#]+', '')"
     path = f"regexp_extract({rest}, '^([^?]*)', 1)"
     query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
@@ -124,13 +132,14 @@ def url_host(col: Column | str) -> Column:
     (URLExpansionBolt.java:67-68 uses java.net.URL#getHost.)
     DuckDB twin: url_host_sql.
     """
-    return F.lower(
+    return ascii_lower(
         F.regexp_extract(_c(col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
     )
 
 
 def url_host_sql(expr: str) -> str:
-    return f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    host = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)"
+    return ascii_lower_sql(host)
 
 
 def url_path(col: Column | str) -> Column:

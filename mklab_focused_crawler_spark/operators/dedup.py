@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
-from ..functions.text import ngrams, ngrams_sql, tokenize, tokenize_sql
+from ..functions.text import (
+    ascii_lower,
+    ngrams,
+    ngrams_sql,
+    tokenize,
+    tokenize_sql,
+)
 
 # MinHash parameters: K = BANDS * ROWS; LSH threshold ≈ (1/BANDS)^(1/ROWS) ≈ 0.71
 K_HASHES = 16
@@ -97,8 +103,10 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
     """(doc_id, text_hash, canonical_doc_id, dup_count); canonical =
     min(doc_id) per content hash — first-seen-wins parity
     (StatusCheckBolt semantics applied to content instead of URL)."""
+    # ascii_lower + ASCII-space trim: engine lower()/trim() are
+    # Unicode-divergent cross-engine (see functions/text.ascii_lower)
     hashed = corpus.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+        "doc_id", F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash")
     )
     groups = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"),
@@ -114,7 +122,7 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
 def exact_dedup_sql() -> str:
     return f"""
         WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
-        hashed AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM corpus),
+        hashed AS (SELECT doc_id, md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS text_hash FROM corpus),
         groups AS (
             SELECT text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS dup_count
@@ -681,7 +689,7 @@ def duplicate_clusters_sql() -> str:
     scale; the Spark path is the one designed for 10^10)."""
     return f"""
         WITH RECURSIVE corpus AS (SELECT * FROM {augment_corpus_sql()}),
-        hashed AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM corpus),
+        hashed AS (SELECT doc_id, md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS text_hash FROM corpus),
         exact_edges AS (
             SELECT h.doc_id AS a, g.canonical AS b
             FROM hashed h JOIN (

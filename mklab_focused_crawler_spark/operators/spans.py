@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
-from ..functions.text import TOKEN_SPLIT_RE
+from ..functions.text import TOKEN_SPLIT_RE, ascii_lower, ascii_lower_sql
 
 BLOCK_TOKENS = 8  # tokens per text span
 MEDIA_EVERY = 3  # a media span follows every 3rd text block
@@ -43,7 +43,9 @@ def build_spans(documents: DataFrame) -> DataFrame:
     # WebPageDeserializationBolt.java:41-52); coalesce keeps the row
     # with an empty span list rather than poisoning downstream exprs
     toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT_RE),
+        F.split(
+            ascii_lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT_RE
+        ),
         lambda t: t != F.lit(""),
     )
     n_blocks = F.ceil(F.size(F.col("toks")) / F.lit(BLOCK_TOKENS)).cast("int")
@@ -120,8 +122,9 @@ def build_spans(documents: DataFrame) -> DataFrame:
 # DuckDB oracle fragment: spans stats per doc from the flat table.
 # n_text = ceil(ntok/8); n_media = floor(n_text/3); n_spans = sum.
 def spans_stats_oracle_sql() -> str:
+    lowered = ascii_lower_sql("coalesce(text, '')")
     toks = (
-        "list_filter(string_split_regex(lower(coalesce(text, ''))"
+        f"list_filter(string_split_regex({lowered}"
         f", '{TOKEN_SPLIT_RE}'), t -> t <> '')"
     )
     n_text = f"CAST(ceil(len({toks}) / {BLOCK_TOKENS}.0) AS INT)"

@@ -10,7 +10,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from tests.util import _norm
@@ -26,6 +26,11 @@ TEXT = st.one_of(
 )
 
 CORPUS = st.lists(TEXT, min_size=1, max_size=12)
+
+# pinned regressions: engine trim()/lower() are Unicode-divergent
+# (NBSP-trim, İ→i+combining-dot vs i, final Σ→ς vs σ) — the queries must
+# use the portable ascii_lower / trim(x, ' ') forms on both sides
+NASTY = ["\xa0", "İstanbul Σ ΣΙΓΜΑΣ", "ẞIG ǅungla ﬃ ＡＢＣ", "\x0b x \x0b", "ı I µ Μ"]
 
 
 def _mk_tables(spark, tmpdir, texts):
@@ -59,6 +64,7 @@ def _compare(spark_df, con, sql):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=CORPUS)
+@example(texts=NASTY)
 def test_fuzz_text_analysis(spark, tmp_path_factory, texts):
     import __spark_entry__ as m
 
@@ -76,6 +82,7 @@ def test_fuzz_text_analysis(spark, tmp_path_factory, texts):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=CORPUS)
+@example(texts=NASTY)
 def test_fuzz_span_stats_and_sequences(spark, tmp_path_factory, texts):
     import __spark_entry__ as m
 
@@ -93,6 +100,7 @@ def test_fuzz_span_stats_and_sequences(spark, tmp_path_factory, texts):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=CORPUS)
+@example(texts=NASTY)
 def test_fuzz_dedup_pairs(spark, tmp_path_factory, texts):
     import __spark_entry__ as m
 
