@@ -86,7 +86,7 @@ from ..sources.synthetic_web import (
 )
 from ..storage.snapshot import SnapshotTable
 from .cuckoo import build_cuckoo, delete_keys, filter_unseen_cuckoo, insert_keys
-from .extraction import extract_articles
+from .extraction import extract_articles_native as extract_articles
 from .frontier import claim_batch, expand_redirects
 from .seen import build_bloom, filter_unseen, merge_bloom, with_seen_key
 

@@ -38,6 +38,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64
+from ..functions.text import ascii_lower
+
 MIN_WORDS_PER_BLOCK = 5
 MAX_LINK_DENSITY = 0.5
 MIN_ARTICLE_WORDS = 30
@@ -198,6 +201,192 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "media_thumbnail",
         ]
     ]
+
+
+def extract_articles_native(
+    df: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """The same behavioral contract as ``extract_articles`` (golden
+    parity tests run over BOTH implementations) but as pure JVM column
+    expressions — higher-order functions over the block array, Java
+    regex on the columnar strings. No Python workers, no Arrow
+    round-trip: profiling the crawl super-step showed the JVM tasks
+    mostly *waiting* on the pandas kernel, and the Arrow+pandas object
+    churn (every ``.str`` op materializes a fresh object array) was the
+    memory-bandwidth term capping core scaling. This is also the
+    100 TB shape: the stage stays a narrow map inside the JVM.
+
+    Documented divergences from the Python-re reference (ASCII inputs
+    identical): Java ``\\s``/``\\b``/``\\w`` are ASCII-only while
+    Python's are Unicode-aware; huge (>19-digit) width/height attrs
+    overflow try_cast to NULL and drop the image."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1),
+            r"\s+",
+            " ",
+        )
+    )
+    body = F.regexp_replace(h, _STRIP_SUBTREES, " ")
+
+    # --- per-block enrichment: each stage references the previous array
+    # exactly once (nested transforms compose without re-evaluation) ----
+    blocks = F.split(body, _BLOCK_SPLIT)
+    t1 = F.transform(
+        blocks,
+        lambda b: F.struct(
+            b.alias("block"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(b, _TAG, " "), r"\s+", " "
+                )
+            ).alias("text"),
+        ),
+    )
+    t2 = F.transform(
+        t1,
+        lambda s: F.struct(
+            s["block"].alias("block"),
+            s["text"].alias("text"),
+            F.size(F.regexp_extract_all(s["text"], F.lit(_WORD), F.lit(0))).alias(
+                "words"
+            ),
+            F.size(
+                F.regexp_extract_all(
+                    F.regexp_replace(
+                        F.array_join(
+                            F.regexp_extract_all(s["block"], F.lit(_ANCHOR), F.lit(1)),
+                            " ",
+                        ),
+                        _TAG,
+                        " ",
+                    ),
+                    F.lit(_WORD),
+                    F.lit(0),
+                )
+            ).alias("link_words"),
+        ),
+    )
+    # keep ⇔ words ≥ 5 AND link_words / max(words,1) ≤ 0.5 — integer form
+    kept = F.filter(
+        t2,
+        lambda s: (s["words"] >= MIN_WORDS_PER_BLOCK)
+        & (s["link_words"] * 2 <= F.greatest(s["words"], F.lit(1))),
+    )
+
+    src_re = r'(?i)src\s*=\s*["\']([^"\']+)["\']'
+    w_re = r'(?i)width\s*=\s*["\']?(\d+)'
+    h_re = r'(?i)height\s*=\s*["\']?(\d+)'
+    alt_re = r'(?i)alt\s*=\s*["\']([^"\']*)["\']'
+
+    def img_spans(block):
+        attrs = F.transform(
+            F.regexp_extract_all(block, F.lit(_IMG), F.lit(0)),
+            lambda im: F.struct(
+                F.regexp_extract(im, src_re, 1).alias("src"),
+                F.regexp_extract(im, w_re, 1).try_cast("bigint").alias("w"),
+                F.regexp_extract(im, h_re, 1).try_cast("bigint").alias("h"),
+                # alt="" must be distinguished from no-alt (falls back to
+                # title): regexp_extract returns '' for both, so test
+                # presence with the FULL pattern (closing quote required,
+                # exactly what the extract matches)
+                F.when(im.rlike(alt_re), F.regexp_extract(im, alt_re, 1))
+                .otherwise(title)
+                .alias("alt"),
+            ),
+        )
+        ok = F.filter(
+            attrs,
+            lambda i: (i["src"] != "")
+            & i["w"].isNotNull()
+            & i["h"].isNotNull()
+            & (i["w"] >= MIN_IMG_DIM)
+            & (i["h"] >= MIN_IMG_DIM)
+            & (i["w"] * i["h"] >= MIN_IMG_AREA)
+            & (F.length(i["src"]) <= MAX_IMG_URL_LEN)
+            & ~ascii_lower(i["src"]).endswith(".gif")
+            & (i["alt"] != ""),
+        )
+        return F.transform(
+            ok,
+            lambda i: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("Web#"), hash64(i["src"]).cast("string")).alias(
+                    "media_ref"
+                ),
+            ),
+        )
+
+    flat = F.flatten(
+        F.transform(
+            kept,
+            lambda s: F.concat(
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        s["text"].alias("text"),
+                        F.lit("").alias("media_ref"),
+                    )
+                ),
+                img_spans(s["block"]),
+            ),
+        )
+    )
+    spans = F.transform(
+        flat,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        title.alias("title"),
+        spans.alias("spans"),
+        *[F.col(c) for c in passthrough],
+    )
+    # spans is the single expensive producer; every output below derives
+    # from its attribute (CollapseProject keeps a non-cheap expr used
+    # more than once in its own projection — evaluated exactly once)
+    media_ids = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media")),
+        lambda s: s["media_ref"],
+    )
+    total_words = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == F.lit("text"),
+            F.size(F.regexp_extract_all(s["text"], F.lit(_WORD), F.lit(0))),
+        ).otherwise(F.lit(0)),
+    )
+    out = (
+        out.withColumn("is_article", total_words >= MIN_ARTICLE_WORDS)
+        .withColumn("media_ids", media_ids)
+        .withColumn("media", F.size(F.col("media_ids")))
+        .withColumn(
+            "media_thumbnail", F.coalesce(F.get(F.col("media_ids"), 0), F.lit(""))
+        )
+    )
+    return out.select(
+        "doc_id",
+        "title",
+        "is_article",
+        "spans",
+        "media",
+        "media_ids",
+        "media_thumbnail",
+        *passthrough,
+    )
 
 
 def extract_articles(

@@ -9,7 +9,10 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mklab_focused_crawler_spark.operators import seen as seen_mod
-from mklab_focused_crawler_spark.operators.extraction import extract_articles
+from mklab_focused_crawler_spark.operators.extraction import (
+    extract_articles,
+    extract_articles_native,
+)
 from mklab_focused_crawler_spark.sources.synthetic_web import (
     generate_pages,
     generate_robots,
@@ -188,12 +191,13 @@ def test_bloom_positions_no_false_negatives_property(hashes):
 
 
 # --------------------------- extraction ------------------------------
-def test_extraction_matches_reference(spark):
+@pytest.mark.parametrize("impl", [extract_articles, extract_articles_native])
+def test_extraction_matches_reference(spark, impl):
     pages = generate_pages(spark, 120).filter(F.col("mime") == "text/html")
     rows = {r["url"]: r["html"] for r in pages.collect()}
     got = {
         r["doc_id"]: r
-        for r in extract_articles(pages, "url", "html").collect()
+        for r in impl(pages, "url", "html").collect()
     }
     assert set(got) == set(rows)
     checked_media = 0
@@ -215,7 +219,8 @@ def test_extraction_matches_reference(spark):
     assert checked_media > 0  # fixture actually exercises media spans
 
 
-def test_extraction_edge_cases(spark):
+@pytest.mark.parametrize("impl", [extract_articles, extract_articles_native])
+def test_extraction_edge_cases(spark, impl):
     cases = [
         ("empty", ""),
         ("no_blocks", "<html><body>just text no block tags at all here</body></html>"),
@@ -227,7 +232,7 @@ def test_extraction_edge_cases(spark):
         ),
     ]
     df = spark.createDataFrame(cases, "url string, html string")
-    got = {r["doc_id"]: r for r in extract_articles(df, "url", "html").collect()}
+    got = {r["doc_id"]: r for r in impl(df, "url", "html").collect()}
     for name, html in cases:
         want = ref_extract(html)
         g = got[name]
@@ -236,6 +241,51 @@ def test_extraction_edge_cases(spark):
         assert got_spans == want_spans, name
     # img with no alt and no page title → dropped (alt-fallback rule)
     assert got["img_no_alt_no_title"]["media"] == 0
+
+
+# ASCII per the documented divergence (Java \s/\b/\w are ASCII-only,
+# Python's are Unicode-aware); structure is the adversarial part here:
+# unclosed tags, nested anchors, mixed quotes, weird attr spacing.
+_FRAG = st.sampled_from(
+    [
+        "<p>", "<div class='x'>", "<DIV>", "<br/>", "<li >", "</p>",
+        "<a href='/x'>", "</a>", "<A HREF=\"y\">click here now</a>",
+        "<script>var x = '<p>sneaky</p>';</script>",
+        "<style>p { color: red }</style>",
+        "<img src='http://t.co/a.jpg' width='300' height='300' alt='pic'>",
+        "<img src=\"http://t.co/b.GIF\" width=250 height=250 alt=ok>",
+        "<img width='300' height='300'>",
+        "<img src='http://t.co/c.png' width='300' height='300' alt=''>",
+        "<img src='http://t.co/d.png' width='100' height='900' alt='x'>",
+        "one two three four five six seven",
+        "w1 w2 w3 w4",
+        "  \t\n  ", "&amp; &lt;", "<title>T I T L E</title>",
+        "<notag", ">", "< p >", "text<with>angle</with>brackets",
+    ]
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(frags=st.lists(_FRAG, min_size=0, max_size=25))
+def test_extraction_fuzz_parity(spark, frags):
+    """Both kernels must match the independent Python-re extractor on
+    adversarial HTML (same per-row invariant as the golden test)."""
+    html = "".join(frags)
+    df = spark.createDataFrame([("d", html)], "url string, html string")
+    want = ref_extract(html)
+    for impl in (extract_articles, extract_articles_native):
+        g = impl(df, "url", "html").collect()[0]
+        assert g["title"] == want["title"]
+        assert g["is_article"] == want["is_article"]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ]
+        want_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in want["spans"]
+        ]
+        assert got_spans == want_spans
+        assert list(g["media_ids"]) == want["media_ids"]
 
 
 def test_merge_if_absent_users(spark, tmp_path):
