@@ -709,13 +709,17 @@ class CrawlLoop:
         max_iterations: int = 10,
         start_iteration: int = 0,
     ) -> list[dict]:
-        redirects = (
-            pages.filter(F.col("redirect_to").isNotNull())
-            .select(
-                F.col("url").alias("src_url"), F.col("redirect_to").alias("dst_url")
+        from .frontier import redirect_closure
+
+        # ≤4-hop closure computed ONCE per run (the map is static within
+        # a run); each iteration then expands with a single broadcast
+        # join instead of 4 hop-joins (operators/frontier.py)
+        redirects = redirect_closure(
+            pages.filter(F.col("redirect_to").isNotNull()).select(
+                F.col("url").alias("src_url"),
+                F.col("redirect_to").alias("dst_url"),
             )
-            .persist()  # read 4x/iteration by the hop joins
-        )
+        ).persist()
         if self._meta is None:
             # Page-store access paths. The html-bearing web is NEVER
             # held on the JVM heap: a deserialized multi-GB cache fills

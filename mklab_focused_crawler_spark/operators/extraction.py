@@ -133,6 +133,10 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             pd.DataFrame({"row": range(n), "_title": title}), on="row", how="left"
         )
         imgs["alt"] = imgs["alt"].fillna(imgs["_title"])
+        # all-NaN extract columns come back float64 — the .str accessor
+        # would raise; normalize to a string view for the length/suffix
+        # checks (notna() still gates on the original)
+        src_s = imgs["src"].fillna("").astype(str)
         ok = (
             imgs["src"].notna()
             & imgs["w"].notna()
@@ -140,8 +144,8 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             & (imgs["w"] >= MIN_IMG_DIM)
             & (imgs["h"] >= MIN_IMG_DIM)
             & (imgs["w"] * imgs["h"] >= MIN_IMG_AREA)
-            & (imgs["src"].str.len() <= MAX_IMG_URL_LEN)
-            & ~imgs["src"].str.lower().str.endswith(".gif")
+            & (src_s.str.len() <= MAX_IMG_URL_LEN)
+            & ~src_s.str.lower().str.endswith(".gif")
             & (imgs["alt"] != "")
         )
         imgs = imgs[ok].copy()

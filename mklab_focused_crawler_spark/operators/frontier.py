@@ -116,28 +116,53 @@ def claim_batch(
     )
 
 
+def redirect_closure(redirects: DataFrame, max_hops: int = 4) -> DataFrame:
+    """(src_url, final_url): each redirect source resolved through up to
+    ``max_hops`` chain steps (URLExpansionBolt.java:30 ``max_redirects=4``).
+    Computed ONCE per crawl run — the redirect map is static within a
+    run, so folding the 4 hop-joins here turns per-iteration expansion
+    into a single broadcast join of the claim batch (round-1 ran all 4
+    hops against every claim batch: 3 extra joins + broadcast builds of
+    per-iteration serial driver time)."""
+    out = redirects.select("src_url", F.col("dst_url").alias("final_url"))
+    step = redirects.select(
+        F.col("src_url").alias("final_url"), F.col("dst_url").alias("_next")
+    )
+    for _ in range(max_hops - 1):
+        out = (
+            out.join(broadcast(step), "final_url", "left")
+            .select(
+                "src_url",
+                F.coalesce(F.col("_next"), F.col("final_url")).alias("final_url"),
+            )
+        )
+    return out
+
+
 def expand_redirects(
     df: DataFrame, redirects: DataFrame, url_col: str = "url", max_hops: int = 4
 ) -> DataFrame:
-    """Follow redirect chains up to max_hops (URLExpansionBolt.java:30
-    ``max_redirects=4``). redirects(src_url, dst_url) is the offline
-    stand-in for live Location-header following; each hop is one
-    explicit broadcast equi-join — the redirect map is small by
-    construction (a low single-digit % of URLs 301), the four hops all
-    reuse ONE broadcast exchange, and the crawl loop runs with AQE off
-    so an unhinted plan would fall back to static size estimates (and
-    sort-merge) instead. At live-crawl scale redirects are followed by
-    the fetch transport itself, not this join.
-    """
-    out = df.withColumn("expanded_url", F.col(url_col))
-    for _ in range(max_hops):
-        out = (
-            out.join(
-                broadcast(redirects.withColumnRenamed("src_url", "expanded_url")),
-                "expanded_url",
-                "left",
-            )
-            .withColumn("expanded_url", F.coalesce(F.col("dst_url"), F.col("expanded_url")))
-            .drop("dst_url")
+    """Resolve redirect chains for a URL batch. ``redirects`` may be the
+    raw (src_url, dst_url) map (resolved to its ≤max_hops closure here)
+    or a precomputed ``redirect_closure`` frame (src_url, final_url) —
+    the crawl loop passes the latter, computed once per run. One
+    broadcast equi-join either way: the map is small by construction (a
+    low single-digit % of URLs 301), and the crawl loop runs with AQE
+    off so an unhinted plan would fall back to sort-merge. At live-crawl
+    scale redirects are followed by the fetch transport itself, not this
+    join."""
+    if "final_url" not in redirects.columns:
+        redirects = redirect_closure(redirects, max_hops)
+    out = (
+        df.withColumn("expanded_url", F.col(url_col))
+        .join(
+            broadcast(redirects.withColumnRenamed("src_url", "expanded_url")),
+            "expanded_url",
+            "left",
         )
+        .withColumn(
+            "expanded_url", F.coalesce(F.col("final_url"), F.col("expanded_url"))
+        )
+        .drop("final_url")
+    )
     return out.filter(F.length("expanded_url") <= MAX_URL_LENGTH)
