@@ -149,10 +149,47 @@ def merge_bloom(bloom: DataFrame, new_keys: DataFrame) -> DataFrame:
     )
 
 
+def collect_bloom(bloom: DataFrame) -> dict:
+    """Materialize per-bucket filters driver-side:
+    {bucket: (nbits, uint8 array)} — the broadcast-probe regime's
+    in-memory form, maintained incrementally by ``merge_bloom_driver``."""
+    return {
+        int(r["bucket"]): (
+            int(r["nbits"]),
+            np.frombuffer(r["bits"], np.uint8).copy(),
+        )
+        for r in bloom.collect()
+    }
+
+
+def merge_bloom_driver(table: dict, rows) -> None:
+    """OR a batch of (bucket, url_hash) rows into a driver-held filter
+    table in place — the broadcast regime's incremental maintenance.
+    One numpy pass per touched bucket (~µs/key); replaces a per-
+    iteration Spark cogroup job + filter-table commit. Buckets with no
+    filter yet get one sized for the batch (the caller's rebuild-on-
+    doubling pass right-sizes it later)."""
+    if not rows:
+        return
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(int(r["bucket"]), []).append(int(r["url_hash"]))
+    for bk, hs in by_bucket.items():
+        kh = np.array(hs, dtype=np.int64).astype(np.uint64)
+        ent = table.get(bk)
+        if ent is None:
+            nbits, bits = _build_one(kh)
+            table[bk] = (nbits, np.frombuffer(bits, np.uint8).copy())
+            continue
+        nbits, arr = ent
+        pos = _positions(kh, nbits)
+        np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: DataFrame | None,
+    bloom: DataFrame | dict | None,
     broadcast_bloom: bool = False,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is not in ``seen``.
@@ -161,8 +198,9 @@ def filter_unseen(
     misses skip the anti-join; hits are confirmed exactly.
 
     Two physical strategies, picked by the caller's size knowledge:
-    - ``broadcast_bloom=True``: collect the per-bucket filters (small —
-      up to a few hundred MB of bits) and probe them in a narrow scalar
+    - ``broadcast_bloom=True``: broadcast the per-bucket filters (small
+      — up to a few hundred MB of bits; pass a ``collect_bloom`` dict
+      to skip the collect job) and probe them in a narrow scalar
       pandas UDF — the candidates are **never shuffled** for the prune.
       Right whenever total bloom bytes fit in executor memory
       (≲10^9 seen keys at 12 bits/key).
@@ -175,12 +213,9 @@ def filter_unseen(
             _seen_keys(seen), "url_hash", "left_anti"
         )
 
-    if broadcast_bloom:
+    if broadcast_bloom or isinstance(bloom, dict):
         spark = candidates.sparkSession
-        table = {
-            int(r["bucket"]): (int(r["nbits"]), np.frombuffer(r["bits"], np.uint8))
-            for r in bloom.collect()
-        }
+        table = bloom if isinstance(bloom, dict) else collect_bloom(bloom)
         bc = spark.sparkContext.broadcast(table)
 
         @F.pandas_udf("boolean")

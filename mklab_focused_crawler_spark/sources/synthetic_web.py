@@ -65,18 +65,17 @@ def _url(i, n_hosts: int):
     )
 
 
-def generate_pages(
-    spark: SparkSession,
+def _page_columns(
+    i: F.Column,
     n_pages: int,
-    n_hosts: int = N_HOSTS_DEFAULT,
-    min_blocks: int = 2,
-    mod_blocks: int = 3,
-) -> DataFrame:
-    """min_blocks/mod_blocks size the content (blocks per page ∈
-    [min_blocks, min_blocks+mod_blocks-1]) — the scaling bench passes
-    larger values so extraction compute dominates coordination."""
-    df = spark.range(n_pages).withColumnRenamed("id", "i")
-    i = F.col("i")
+    n_hosts: int,
+    min_blocks: int,
+    mod_blocks: int,
+) -> dict[str, F.Column]:
+    """Every page column as a pure function of the page index ``i`` —
+    shared by ``generate_pages`` (materialize a web table) and
+    ``synthetic_fetch`` (regenerate one page per claimed URL, the
+    fetch-cost-∝-claims emulation of HTTP)."""
     vocab = F.lit(VOCAB)
 
     word = lambda j, m: F.element_at(  # noqa: E731
@@ -145,19 +144,111 @@ def generate_pages(
         lambda k: _url(F.pmod(_h("lk", i, k), n_pages), n_hosts),
     )
 
+    return {
+        "url": _url(i, n_hosts),
+        "redirect_to": F.when(i % 17 == 0, _url(i + 1, n_hosts)).otherwise(
+            F.lit(None)
+        ),
+        "mime": F.when(i % 23 == 0, F.lit("image/png")).otherwise(
+            F.lit("text/html")
+        ),
+        "html": F.when(i % 23 == 0, F.lit("")).otherwise(html),
+        "out_links": out_links,
+        "shares": F.pmod(_h("sh", i), 100).cast("int"),
+        "pub_ms": F.lit(BASE_MS) + F.pmod(_h("ts", i), 86_400_000),
+        "host_idx": _host_idx(i, n_hosts).cast("int"),
+    }
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = N_HOSTS_DEFAULT,
+    min_blocks: int = 2,
+    mod_blocks: int = 3,
+) -> DataFrame:
+    """min_blocks/mod_blocks size the content (blocks per page ∈
+    [min_blocks, min_blocks+mod_blocks-1]) — the scaling bench passes
+    larger values so extraction compute dominates coordination."""
+    df = spark.range(n_pages).withColumnRenamed("id", "i")
+    cols = _page_columns(F.col("i"), n_pages, n_hosts, min_blocks, mod_blocks)
+    return df.select(*[c.alias(name) for name, c in cols.items()])
+
+
+_PAGE_IDX_RE = r"page/(\d+)$"
+
+
+def synthetic_fetch(
+    n_pages: int,
+    n_hosts: int = N_HOSTS_DEFAULT,
+    min_blocks: int = 2,
+    mod_blocks: int = 3,
+    url_col: str = "expanded_url",
+):
+    """Column-expression fetch transport over the synthetic web: given a
+    claimed-URL batch, regenerate each page's (mime, html, out_links)
+    from the page index embedded in the URL — the same pure functions
+    ``generate_pages`` materializes, evaluated per *claim*.
+
+    This is the faithful HTTP-cost emulation for the crawl bench: a real
+    fetch costs ∝ claimed URLs, while the page-store join costs ∝ web
+    size (every iteration re-scanned and re-decoded the whole
+    html-bearing table — measured as the memory-bandwidth term that
+    capped core scaling; this box does ~6.6 GB/s at 2 cores but only
+    ~10.5 at 8). Generation + extraction fuse into one codegen stage:
+    each ~1.5 KB html string is built, parsed and discarded inside the
+    task loop — cache-resident, never at rest.
+
+    URLs that don't parse as synthetic pages (or index ≥ n_pages) are
+    dropped — the equivalent of a DNS/404 fetch miss, counted by the
+    caller's claimed-vs-fetched arithmetic exactly like the join path's
+    missing rows. Exact join-path parity is pinned by
+    tests/test_crawl_parts.py::test_synthetic_fetch_parity."""
+
+    def fetch(df: DataFrame) -> DataFrame:
+        i = F.regexp_extract(F.col(url_col), _PAGE_IDX_RE, 1).try_cast("long")
+        cols = _page_columns(i, n_pages, n_hosts, min_blocks, mod_blocks)
+        return (
+            df.withColumn("_i", i)
+            .filter(F.col("_i").isNotNull() & (F.col("_i") < n_pages))
+            # the regenerated URL must round-trip (guards against a
+            # foreign URL that happens to end in page/<n>)
+            .filter(F.col(url_col) == cols["url"])
+            .select(
+                *df.columns,
+                cols["mime"].alias("mime"),
+                cols["html"].alias("html"),
+                cols["out_links"].alias("out_links"),
+            )
+        )
+
+    return fetch
+
+
+def generate_redirects(
+    spark: SparkSession, n_pages: int, n_hosts: int = N_HOSTS_DEFAULT
+) -> DataFrame:
+    """The synthetic web's redirect map (src_url, dst_url) straight from
+    the index range — no scan of the html-bearing pages table."""
+    df = spark.range(0, n_pages, 17).withColumnRenamed("id", "i")
+    i = F.col("i")
+    return df.select(
+        _url(i, n_hosts).alias("src_url"),
+        _url(i + 1, n_hosts).alias("dst_url"),
+    )
+
+
+def generate_meta(
+    spark: SparkSession, n_pages: int, n_hosts: int = N_HOSTS_DEFAULT
+) -> DataFrame:
+    """Narrow (url, shares, pub_ms) metadata projection from the index
+    range — the score join's build side, no html ever materialized."""
+    df = spark.range(n_pages).withColumnRenamed("id", "i")
+    i = F.col("i")
     return df.select(
         _url(i, n_hosts).alias("url"),
-        F.when(i % 17 == 0, _url(i + 1, n_hosts)).otherwise(F.lit(None)).alias(
-            "redirect_to"
-        ),
-        F.when(i % 23 == 0, F.lit("image/png"))
-        .otherwise(F.lit("text/html"))
-        .alias("mime"),
-        F.when(i % 23 == 0, F.lit("")).otherwise(html).alias("html"),
-        out_links.alias("out_links"),
         F.pmod(_h("sh", i), 100).cast("int").alias("shares"),
         (F.lit(BASE_MS) + F.pmod(_h("ts", i), 86_400_000)).alias("pub_ms"),
-        _host_idx(i, n_hosts).cast("int").alias("host_idx"),
     )
 
 

@@ -87,6 +87,7 @@ for k, s in sorted(stages.items(), key=lambda kv: -kv[1]["wall"])[:30]:
 
 # ---- job-description attribution: wall span + driver gap per action ----
 jobs = []
+stage_desc = {}  # stage id -> job description
 for fn in os.listdir(log_dir):
     p = os.path.join(log_dir, fn)
     if not os.path.isfile(p):
@@ -102,6 +103,8 @@ for fn in os.listdir(log_dir):
             if t == "SparkListenerJobStart":
                 desc = (e.get("Properties") or {}).get("spark.job.description", "")
                 pend[e["Job ID"]] = [e.get("Submission Time", 0), None, desc]
+                for si in e.get("Stage Infos", []):
+                    stage_desc[si["Stage ID"]] = desc or "(none)"
             elif t == "SparkListenerJobEnd" and e["Job ID"] in pend:
                 pend[e["Job ID"]][1] = e.get("Completion Time", 0)
     jobs += [j for j in pend.values() if j[1]]
@@ -119,3 +122,12 @@ print(f"\n== jobs by description ({len(jobs)} jobs): wall=in-job, gap=driver tim
 print(f"{'n':>4} {'wall':>8} {'gap':>8}  description")
 for desc, d in sorted(by_desc.items(), key=lambda kv: -(kv[1]['wall'] + kv[1]['gap'])):
     print(f"{d['n']:4d} {d['wall']:8.2f} {d['gap']:8.2f}  {desc}")
+
+print("\n== stages annotated with their job description (top 40 by wall)")
+print(f"{'wall':>7} {'ttime':>8} {'tasks':>5} {'max_t':>6} {'gc':>5}  desc / stage")
+for (sid, _), s in sorted(stages.items(), key=lambda kv: -kv[1]["wall"])[:40]:
+    print(
+        f"{s['wall']:7.2f} {s['task_time']:8.1f} {s['tasks']:5d} "
+        f"{s['max_task']:6.1f} {s['gc']:5.1f}  "
+        f"[{stage_desc.get(sid, '?')}] {s['name'][:70]}"
+    )

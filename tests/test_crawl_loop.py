@@ -76,14 +76,53 @@ def test_crawl_order_and_seen_parity(spark, tmp_path):
 
 
 def test_crawl_parity_with_incremental_bloom(spark, tmp_path, monkeypatch):
-    """Force the incremental bloom-maintenance path (normally engaged
-    above 2M seen keys) and assert identical crawl order + seen set."""
+    """Force the beyond-broadcast cogroup regime (normally engaged past
+    ~10^9 seen keys: filters too big to broadcast, incremental cogroup
+    merge into the filter table) and assert identical crawl order +
+    seen set."""
     from mklab_focused_crawler_spark.operators import crawl as crawl_mod
 
     monkeypatch.setattr(crawl_mod, "FILTER_INCREMENTAL_MIN_KEYS", 0)
+    monkeypatch.setattr(crawl_mod, "BROADCAST_BLOOM_MAX_BYTES", 0)
     pages, robots, seeds = _setup(spark)
     sim = _simulate(spark, pages, robots, seeds, max_iters=3)
     loop, _ = _run_loop(spark, tmp_path / "inc", pages, robots, seeds, iters=3)
+    log = loop.crawl_log().collect()
+    got = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
+    assert got == sim["order"]
+    got_seen = {
+        r["canonical_url"] for r in loop.seen_df().select("canonical_url").collect()
+    }
+    assert got_seen == sim["seen"]
+    pages.unpersist()
+
+
+def test_crawl_parity_with_synthetic_fetch(spark, tmp_path):
+    """The scaling bench's transport path (fetch_fn = column-expression
+    synthetic_fetch, no page store anywhere in the loop) produces the
+    identical crawl order and seen set as the page-store join path /
+    golden simulator."""
+    from mklab_focused_crawler_spark.sources.synthetic_web import (
+        generate_meta,
+        generate_redirects,
+        synthetic_fetch,
+    )
+
+    pages, robots, seeds = _setup(spark)
+    sim = _simulate(spark, pages, robots, seeds)
+    meta = generate_meta(spark, N_PAGES)
+    redirect_map = generate_redirects(spark, N_PAGES)
+    loop = CrawlLoop(
+        spark, str(tmp_path / "synth"), fetch_fn=synthetic_fetch(N_PAGES)
+    )
+    loop.init(seeds, meta)
+    loop.run(
+        None,
+        robots,
+        max_iterations=MAX_ITERS,
+        redirect_map=redirect_map,
+        pages_meta=meta,
+    )
     log = loop.crawl_log().collect()
     got = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
     assert got == sim["order"]

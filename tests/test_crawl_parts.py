@@ -129,6 +129,34 @@ def test_pages_shape(spark):
     assert len(seeds) == 10 and all(s["url"] in urls for s in seeds)
 
 
+def test_synthetic_fetch_parity(spark):
+    """synthetic_fetch (fetch-cost-∝-claims transport) regenerates
+    exactly the rows generate_pages materializes, and drops foreign /
+    out-of-range URLs (the fetch-miss semantics of the join path)."""
+    from mklab_focused_crawler_spark.sources.synthetic_web import synthetic_fetch
+
+    n = 300
+    web = {
+        r["url"]: r
+        for r in generate_pages(spark, n, min_blocks=3, mod_blocks=4).collect()
+    }
+    batch = spark.createDataFrame(
+        [(u,) for u in web] + [
+            ("http://other.test/page/5",),   # foreign scheme, index parses
+            ("http://host0.test/page/999999",),  # index ≥ n_pages
+            ("http://host0.test/nopage",),   # no index at all
+        ],
+        "expanded_url string",
+    )
+    got = synthetic_fetch(n, min_blocks=3, mod_blocks=4)(batch).collect()
+    assert len(got) == len(web)
+    for r in got:
+        w = web[r["expanded_url"]]
+        assert r["mime"] == w["mime"]
+        assert r["html"] == w["html"]
+        assert list(r["out_links"]) == list(w["out_links"])
+
+
 # --------------------------- bloom seen-set --------------------------
 N_BUCKETS = 8
 
