@@ -82,7 +82,6 @@ def entity_counts(
     return (
         ents.groupBy("doc_id", "entity")
         .agg(F.count(F.lit(1)).cast("int").alias("n_mentions"))
-        .orderBy("doc_id", "entity")
     )
 
 
@@ -128,7 +127,6 @@ def pos_tag_counts(
         toks.select("doc_id", _pos_tag_col(F.col("token")).alias("tag"))
         .groupBy("doc_id", "tag")
         .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"))
-        .orderBy("doc_id", "tag")
     )
 
 

@@ -61,6 +61,26 @@ efficiency of the rewrite-everything round-1 loop:
   repartitioned by url once per run and cached; each iteration only
   shuffles the (small) new-URL side to meet it (shuffle-hash, no
   per-iteration sort of the big side).
+- **Fetch cost ∝ claims, never ∝ web.** Three transports: the
+  page-store equi-join (broadcast claim batch, or storage-partitioned
+  against a url-bucketed table), the injectable mapInPandas HTTP-shape
+  UDF, and the column-expression ``fetch_fn`` (synthetic web: each
+  claimed page regenerates from its URL inside the extraction codegen
+  stage). The join paths re-scan O(web) bytes per iteration — pure
+  memory traffic, and measured memory bandwidth on this box saturates
+  far below core count (6.6 GB/s at 2 cores, 10.5 at 8) — so the
+  scaling bench uses ``fetch_fn``: fetch+extract is then CPU-dense and
+  cache-resident, which is also the real crawler's cost shape.
+- **Probabilistic filter maintenance is driver-side in the broadcast
+  regime.** Below BROADCAST_BLOOM_MAX_BYTES the per-bucket bloom lives
+  on the driver ({bucket: bits}), probed via one broadcast per
+  iteration and merged in place with numpy from the new-URL keys —
+  zero per-iteration filter jobs (rebuild on seen-set doubling).
+  Beyond broadcast size, the cogroup-by-bucket prune + incremental
+  cogroup merge into the filter table takes over.
+- **Independent commits overlap.** The claim-tombstone append runs on
+  a driver thread during the discover job; the 4-row metrics commit is
+  a driver-side Arrow write (no job at all).
 - TTL / re-crawl (CrawlDecider.java:14,23-36): with ``ttl_iterations``
   set, seen-membership and claim tombstones both age out, so expired
   URLs become claimable again; re-fetched documents route through
@@ -106,8 +126,11 @@ BROADCAST_BLOOM_MAX_BYTES = 256 << 20
 FILTER_INCREMENTAL_MIN_KEYS = 500_000
 # Fold claim tombstones into the frontier when they exceed this fraction
 # of total frontier rows (amortized O(1)/row; Iceberg MERGE + compaction
-# on a real cluster).
-COMPACT_TOMBSTONE_FRAC = 0.5
+# on a real cluster). 1.0 balances the costs: carrying tombstones adds
+# only a narrow 8-byte-key shuffle-hash anti-join to each claim, while a
+# fold rewrites the whole frontier — folding below tombs ≈ frontier pays
+# O(frontier) to avoid less-than-O(frontier) of anti-join build.
+COMPACT_TOMBSTONE_FRAC = 1.0
 
 _FRONTIER_COLS = (
     "url",

@@ -75,13 +75,20 @@ class CuckooTable:
         while m * SLOTS_PER_BUCKET * LOAD_FACTOR < n:
             m <<= 1
         m = max(m, 2)
-        t = cls(m)
-        rng = np.random.RandomState(12345)  # deterministic eviction walk
-        for h in hashes.astype(np.uint64):
-            t._insert_one(int(h), rng)
-        return t
+        # grow-and-rehash on eviction-walk overflow: at tiny m (or an
+        # adversarial fingerprint pile-up) both candidate buckets of a
+        # key can coincide and fill. Build still holds the original
+        # keys, so doubling m and rehashing is always possible here —
+        # unlike incremental insert, which only has fingerprints
+        # (see insert_keys: the caller rebuilds from the exact table).
+        while True:
+            t = cls(m)
+            rng = np.random.RandomState(12345)  # deterministic walk
+            if all(t._insert_one(int(h), rng) for h in hashes.astype(np.uint64)):
+                return t
+            m <<= 1
 
-    def _insert_one(self, h: int, rng) -> None:
+    def _insert_one(self, h: int, rng) -> bool:
         fp = int(_fingerprint(np.array([h], dtype=np.uint64))[0])
         # pure-int mod: mixing a Python int with np.uint64 promotes to
         # float64 and silently drops bits above 2^53. Index comes from
@@ -92,7 +99,7 @@ class CuckooTable:
             empty = np.where(self.slots[i] == 0)[0]
             if len(empty):
                 self.slots[i, empty[0]] = fp
-                return
+                return True
         # eviction walk
         i = i1 if rng.rand() < 0.5 else i2
         for _ in range(MAX_KICKS):
@@ -104,10 +111,8 @@ class CuckooTable:
             empty = np.where(self.slots[i] == 0)[0]
             if len(empty):
                 self.slots[i, empty[0]] = fp
-                return
-        raise RuntimeError(
-            "cuckoo filter over capacity — grow n_buckets or LOAD_FACTOR"
-        )
+                return True
+        return False  # over capacity: build grows; insert_keys raises
 
     # -- vectorized ops ---------------------------------------------------
     def contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -230,7 +235,11 @@ def insert_keys(cuckoo: DataFrame, new_keys: DataFrame) -> DataFrame:
         if len(keys):
             rng = np.random.RandomState(12345)
             for h in keys["url_hash"].to_numpy().astype(np.uint64):
-                t._insert_one(int(h), rng)
+                if not t._insert_one(int(h), rng):
+                    raise RuntimeError(
+                        "cuckoo filter over capacity — rebuild from the "
+                        "exact seen table (CrawlLoop rebuilds on doubling)"
+                    )
         return pd.DataFrame(
             {
                 "bucket": [int(filt["bucket"].iloc[0])],

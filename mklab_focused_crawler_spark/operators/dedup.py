@@ -115,7 +115,6 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
     return (
         hashed.join(groups, "text_hash")
         .select("doc_id", "text_hash", "canonical_doc_id", "dup_count")
-        .orderBy("doc_id")
     )
 
 
@@ -270,7 +269,6 @@ def lsh_pairs(corpus: DataFrame) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -391,7 +389,6 @@ def jaccard_topk(corpus: DataFrame, k: int = JACCARD_TOPK) -> DataFrame:
             "inter",
             F.round("jaccard", 6).alias("jaccard"),
         )
-        .orderBy("probe_id", "rank")
     )
 
 
@@ -547,7 +544,6 @@ def simhash_pairs(corpus: DataFrame) -> DataFrame:
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -679,7 +675,7 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
             break
     out = labels.select(
         "doc_id", F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    )
     adj.unpersist()
     return out
 

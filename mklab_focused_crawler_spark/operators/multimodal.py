@@ -216,7 +216,6 @@ def media_pipeline(spans_df: DataFrame) -> DataFrame:
                 F.round(F.element_at("feature", 1) * 255).cast("long")
             ).alias("feat0_sum"),
         )
-        .orderBy("doc_id")
     )
 
 

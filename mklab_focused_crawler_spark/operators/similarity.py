@@ -148,7 +148,6 @@ def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
                 "cosine"
             ),
         )
-        .orderBy("probe_id", "rank")
     )
 
 
@@ -239,7 +238,6 @@ def ann_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
                 "cosine"
             ),
         )
-        .orderBy("probe_id", "rank")
     )
 
 
@@ -374,7 +372,6 @@ def ann_topk_multi(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
                 "cosine"
             ),
         )
-        .orderBy("probe_id", "rank")
     )
 
 
@@ -462,7 +459,6 @@ def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
                 "cosine"
             ),
         )
-        .orderBy("id_a", "id_b")
     )
 
 

@@ -149,7 +149,7 @@ def spans_stats(spans_df: DataFrame) -> DataFrame:
         .cast("int")
         .alias("n_media_spans"),
         F.size(F.col("spans")).cast("int").alias("n_spans"),
-    ).orderBy("doc_id")
+    )
 
 
 def explode_spans(spans_df: DataFrame) -> DataFrame:

@@ -43,5 +43,4 @@ def top_terms_per_source(spans_df: DataFrame, k: int = 10) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("source", "term", "term_count", "rank")
-        .orderBy("source", "rank")
     )

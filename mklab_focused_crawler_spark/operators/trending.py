@@ -75,7 +75,6 @@ def rolling_top_events(events: DataFrame, k: int = TOP_K) -> DataFrame:
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .orderBy("window_start_ms", "rank")
     )
 
 
@@ -119,7 +118,6 @@ def domain_counts(events_urls: DataFrame, k: int = TOP_K) -> DataFrame:
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .orderBy("window_start_ms", "rank")
     )
 
 
@@ -161,7 +159,6 @@ def contributor_counts(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
-        .orderBy("window_start_ms", "user_id")
     )
 
 
@@ -209,7 +206,7 @@ def idf_windows(events: DataFrame) -> DataFrame:
         "n_docs",
         F.round("idf", 9).alias("idf"),
         F.round(shift, 9).alias("shift"),
-    ).orderBy("window_idx", "term")
+    )
 
 
 def idf_windows_sql() -> str:
@@ -310,7 +307,6 @@ def detect_events(events: DataFrame) -> DataFrame:
             F.round(F.log10(F.col("n_docs") / F.col("df")), 9).alias("idf"),
             shift_at(0).alias("shift"),
         )
-        .orderBy("window_idx", "term")
     )
 
 
