@@ -201,6 +201,13 @@ def _q_ann_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_multi(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (coarse-quantizer inverted lists + multi-probe —
+    the FAISS nlist/nprobe shape; fixed deterministic codebook stands
+    in for offline k-means training)."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
 
@@ -439,6 +446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": _q_cosine_topk,
     "ann_topk": _q_ann_topk,
     "ann_topk_multi": _q_ann_topk_multi,
+    "ivf_topk": _q_ivf_topk,
     "embedding_near_dups": _q_embedding_near_dups,
     "text_analysis": _q_text_analysis,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
@@ -508,6 +516,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": similarity.cosine_topk_sql(),
     "ann_topk": similarity.ann_topk_sql(),
     "ann_topk_multi": similarity.ann_topk_multi_sql(),
+    "ivf_topk": similarity.ivf_topk_sql(),
     "embedding_near_dups": similarity.embedding_near_dups_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),

@@ -417,6 +417,145 @@ def ann_topk_multi_sql(k: int = TOP_K) -> str:
 
 
 # ---------------------------------------------------------------------------
+# IVF-flat ANN (coarse-quantizer inverted lists, multi-probe)
+# ---------------------------------------------------------------------------
+
+# The third scale path (task brief: "an IVF or LSH-bucketed variant"):
+# vectors are assigned to the nearest of K_LISTS coarse centroids
+# (inverted lists); a query probes its N_PROBE nearest lists and ranks
+# only their members by exact integer dot product. Candidate volume is
+# ~n·N_PROBE/K_LISTS per probe — K_LISTS and N_PROBE tune bucket size
+# and recall independently, like FAISS IVF-flat's nlist/nprobe.
+#
+# The codebook here is FIXED (deterministic ±1 vectors, same scheme as
+# the LSH hyperplanes) — the stand-in for a k-means-trained codebook,
+# which at production scale is an offline batch job (sample → train →
+# broadcast) outside the query. Equal-norm ±1 centroids make nearest-
+# centroid assignment a pure integer argmax of the dot product: exact
+# and identical across engines, no norm-ratio comparisons needed.
+#
+# Plan shape: the codebook is a plan literal (broadcast-equivalent);
+# assignment is a narrow map (array_sort over K structs per row — no
+# n×K shuffle); candidate generation is ONE equi-join probe-lists ⋈
+# assignments on list_id. Unlike multi-table LSH no distinct is needed:
+# each vector lives in exactly one list and a probe visits each list
+# once, so candidate pairs are already unique.
+
+K_LISTS = 16
+N_PROBE = 4
+IVF_CENTROIDS = [
+    [v * SCALE for v in row] for row in _gen_planes("ivf-", K_LISTS)
+]
+
+
+def _ivf_ranked_lists(q_col) -> F.Column:
+    """Array of list ids, best-first: sort (−dot, j) ascending — dot
+    descending with centroid id as the deterministic tie-break."""
+    scores = F.array(
+        *[
+            F.struct(
+                (-qdot(q_col, F.lit(c))).alias("nd"),
+                F.lit(j).cast("int").alias("j"),
+            )
+            for j, c in enumerate(IVF_CENTROIDS)
+        ]
+    )
+    return F.transform(F.array_sort(scores), lambda s: s["j"])
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = TOP_K, n_probe: int = N_PROBE
+) -> DataFrame:
+    q = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", qnorm2(F.col("q")))
+    ranked = _ivf_ranked_lists(F.col("q"))
+    assigned = q.select(
+        "vec_id", "q", "n2", F.get(ranked, 0).alias("list_id")
+    )
+    probes = (
+        q.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("q").alias("pq"),
+            F.col("n2").alias("pn2"),
+            F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
+        )
+    )
+    cand = probes.join(assigned, "list_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.select(
+        "probe_id",
+        "vec_id",
+        "list_id",
+        qdot(F.col("pq"), F.col("q")).alias("dot_q"),
+        "pn2",
+        "n2",
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            "list_id",
+            "rank",
+            "dot_q",
+            _cosine_display(F.col("dot_q"), F.col("pn2"), F.col("n2")).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+def ivf_topk_sql(k: int = TOP_K, n_probe: int = N_PROBE) -> str:
+    q = quantized_sql("embedding")
+    per_list = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, "
+        f"{qdot_sql('q', '[' + ', '.join(str(v) for v in c) + ']')} AS d FROM qt"
+        for j, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+        WITH qt AS (
+            SELECT vec_id, {q} AS q, {qdot_sql(q, q)} AS n2 FROM embeddings
+        ),
+        scores AS (
+            {per_list}
+        ),
+        ranked AS (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d DESC, j ASC) AS rn
+            FROM scores
+        ),
+        assign AS (SELECT vec_id, j AS list_id FROM ranked WHERE rn = 1),
+        probe_lists AS (
+            SELECT vec_id AS probe_id, j AS list_id FROM ranked
+            WHERE rn <= {n_probe} AND vec_id % {PROBE_MOD} = 0
+        ),
+        scored AS (
+            SELECT p.probe_id, a.vec_id, a.list_id,
+                   {qdot_sql("pq.q", "vq.q")} AS dot_q,
+                   pq.n2 AS pn2, vq.n2 AS n2
+            FROM probe_lists p
+            JOIN assign a USING (list_id)
+            JOIN qt pq ON pq.vec_id = p.probe_id
+            JOIN qt vq ON vq.vec_id = a.vec_id
+            WHERE a.vec_id <> p.probe_id
+        )
+        SELECT probe_id, vec_id, list_id, rank, dot_q,
+               {_cosine_display_sql("dot_q", "pn2", "n2")} AS cosine
+        FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                        ORDER BY dot_q DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (threshold, integer-exact)
 # ---------------------------------------------------------------------------
 
