@@ -191,6 +191,10 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_gemm(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -444,6 +448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_topk": _q_jaccard_topk,
     "duplicate_clusters": _q_dup_clusters,
     "cosine_topk": _q_cosine_topk,
+    "cosine_topk_gemm": _q_cosine_topk_gemm,
     "ann_topk": _q_ann_topk,
     "ann_topk_multi": _q_ann_topk_multi,
     "ivf_topk": _q_ivf_topk,
@@ -514,6 +519,7 @@ ORACLES: dict[str, str] = {
     "jaccard_topk": dedup.jaccard_topk_sql(),
     "duplicate_clusters": dedup.duplicate_clusters_sql(),
     "cosine_topk": similarity.cosine_topk_sql(),
+    "cosine_topk_gemm": similarity.cosine_topk_gemm_sql(),
     "ann_topk": similarity.ann_topk_sql(),
     "ann_topk_multi": similarity.ann_topk_multi_sql(),
     "ivf_topk": similarity.ivf_topk_sql(),

@@ -178,6 +178,107 @@ def cosine_topk_sql(k: int = TOP_K) -> str:
 
 
 # ---------------------------------------------------------------------------
+# GEMM brute-force cosine top-k (the exact-search THROUGHPUT path)
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_gemm(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k like :func:`cosine_topk`, but the corpus×probe dot
+    products are one int64 matrix multiply per Arrow batch instead of a
+    per-row ``zip_with`` fold — the kernel the brute-force path needs at
+    10^8+ corpus rows (a JVM HOF loop evaluates DIM lambda calls per
+    pair; the matmul is a tight C loop over the same integers, and int64
+    arithmetic is exact on both sides so results are bit-identical).
+
+    Plan shape: the probe matrix (bounded by construction: the probe set
+    is a query workload, not the corpus — chunk it beyond ~10^5 probes)
+    broadcasts to every task; the corpus streams once through
+    ``mapInPandas`` emitting per-batch per-probe top-k (a correct
+    partial: the (dot desc, vec_id asc) comparator is total, so global
+    top-k = top-k of the union of batch top-ks); the final window ranks
+    batches×probes×k survivor rows — tiny. No shuffle touches the
+    corpus; partition count and batch boundaries cannot change the
+    result."""
+    import numpy as np
+
+    q = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", qnorm2(F.col("q")))
+    probes_pd = (
+        q.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select("vec_id", "q", "n2")
+        .toPandas()
+    )
+    spark = embeddings.sparkSession
+    if len(probes_pd) == 0:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, rank int, dot_q long, cosine double"
+        )
+    probe_ids = probes_pd["vec_id"].to_numpy().astype(np.int64)
+    pmat = np.stack([np.asarray(v, dtype=np.int64) for v in probes_pd["q"]])
+    pn2 = probes_pd["n2"].to_numpy().astype(np.int64)
+    bp = spark.sparkContext.broadcast((probe_ids, pmat, pn2))
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids_p, mat_p, _ = bp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            n2 = pdf["n2"].to_numpy().astype(np.int64)
+            qmat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            dots = qmat @ mat_p.T  # (batch × probes), int64 exact
+            out = []
+            for j in range(len(ids_p)):
+                dj = dots[:, j]
+                keep = vid != ids_p[j]  # self-match excluded
+                order = np.lexsort((vid[keep], -dj[keep]))[:k]
+                kv, kd, kn = vid[keep][order], dj[keep][order], n2[keep][order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": np.full(len(kv), ids_p[j], np.int64),
+                            "vec_id": kv,
+                            "dot_q": kd,
+                            "n2": kn,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = q.mapInPandas(kernel, "probe_id long, vec_id long, dot_q long, n2 long")
+    pn2_df = broadcast(
+        spark.createDataFrame(
+            list(zip(probe_ids.tolist(), pn2.tolist())), "probe_id long, pn2 long"
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        cand.join(pn2_df, "probe_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            "rank",
+            "dot_q",
+            _cosine_display(F.col("dot_q"), F.col("pn2"), F.col("n2")).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+def cosine_topk_gemm_sql(k: int = TOP_K) -> str:
+    """Exact search is exact search: the GEMM kernel's oracle is the
+    brute-force twin."""
+    return cosine_topk_sql(k)
+
+
+# ---------------------------------------------------------------------------
 # hyperplane-LSH bucketed ANN
 # ---------------------------------------------------------------------------
 

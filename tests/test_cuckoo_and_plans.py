@@ -147,6 +147,26 @@ def test_determinism_across_shuffle_parallelism(spark):
     assert a == b and len(a) > 0
 
 
+def test_gemm_topk_matches_bruteforce_any_partitioning(spark):
+    """cosine_topk_gemm ≡ cosine_topk bit-for-bit, and the per-batch
+    partial top-k cannot depend on partition/batch boundaries."""
+    from mklab_focused_crawler_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ref = [
+        tuple(r)
+        for r in similarity.cosine_topk(emb).orderBy("probe_id", "rank").collect()
+    ]
+    for n_parts in (1, 7):
+        got = [
+            tuple(r)
+            for r in similarity.cosine_topk_gemm(emb.repartition(n_parts))
+            .orderBy("probe_id", "rank")
+            .collect()
+        ]
+        assert got == ref and len(ref) > 0
+
+
 def test_bucketed_fetch_join_is_storage_partitioned(spark, tmp_path):
     """fetch_join="bucketed" (the 10^10-page shape): the web scan side
     must reach the shuffled-hash fetch join WITHOUT an exchange — the
