@@ -379,10 +379,16 @@ def _frontier_claim_sql() -> str:
 def _q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EntityExtractionBolt (capitalized-run heuristic — the
     deterministic stand-in for the Stanford CRF model) as pure column
-    expressions; see functions/nlp.py."""
+    expressions; see functions/nlp.py. The synthetic corpus is all-
+    lowercase, so the fixture runs through deterministic case
+    restoration first (hash-selected tokens capitalized) — without it
+    the capitalized-run extractor is vacuously empty."""
     from mklab_focused_crawler_spark.functions import nlp
 
-    return nlp.entity_counts(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", nlp.restore_case(F.col("text"))
+    )
+    return nlp.entity_counts(docs)
 
 
 def _q_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,7 +540,13 @@ ORACLES: dict[str, str] = {
     "frontier_claim": _frontier_claim_sql(),
     "json_ingress": _JSON_INGRESS_SQL,
     "domain_counts": trending.domain_counts_sql(_synth_url_sql("event_id")),
-    "entities": __import__("mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]).entity_counts_sql(),
+    "entities": __import__("mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]).entity_counts_sql(
+        "(SELECT doc_id, "
+        + __import__(
+            "mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]
+        ).restore_case_sql("text")
+        + " AS text FROM documents)"
+    ),
     "pos_tags": __import__("mklab_focused_crawler_spark.functions.nlp", fromlist=["x"]).pos_tag_counts_sql(),
     # StreamUser insert-if-absent (MediaUpdaterBolt.java:116-126): the
     # surviving row per user is the first event's in (ts, event_id) order

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import hash64, hash64_sql
+
 ENTITY_PATTERN = r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\b"
 _ENTITY_RE = re.compile(ENTITY_PATTERN)
 TOKEN_PATTERN = r"[A-Za-z0-9]+"
@@ -64,6 +66,40 @@ def _heuristic_pos(tok: str) -> str:
 # the mapInPandas forms below keep the model-deployment shape for when a
 # real NER/POS model is injected.
 # --------------------------------------------------------------------------
+
+
+CASE_MOD = 5  # restore_case capitalizes tokens with hash64(tok) % 5 == 0
+
+
+def restore_case(text_col) -> F.Column:
+    """Deterministic case restoration for the all-lowercase synthetic
+    corpus: capitalize the ~1/CASE_MOD of tokens selected by the
+    portable 60-bit hash (adjacent selected tokens form multi-word
+    capitalized runs — exactly the structure the entity heuristic keys
+    on). A real crawl has cased text and skips this; the fixture needs
+    it or the capitalized-run extractor is vacuously empty. ASCII
+    upper only (the corpus is ASCII; Unicode casing diverges across
+    engines — see functions/text.py)."""
+    toks = F.split(F.coalesce(text_col, F.lit("")), " ")
+
+    def cap(tk):
+        return F.when(
+            (F.length(tk) > 0) & (hash64(tk) % CASE_MOD == 0),
+            F.concat(
+                F.upper(tk.substr(F.lit(1), F.lit(1))),
+                tk.substr(F.lit(2), F.length(tk)),
+            ),
+        ).otherwise(tk)
+
+    return F.array_join(F.transform(toks, cap), " ")
+
+
+def restore_case_sql(expr: str) -> str:
+    return (
+        f"array_to_string(list_transform(string_split(coalesce({expr}, ''), ' '), "
+        f"t -> CASE WHEN length(t) > 0 AND ({hash64_sql('t')}) % {CASE_MOD} = 0 "
+        f"THEN upper(substr(t, 1, 1)) || substr(t, 2) ELSE t END), ' ')"
+    )
 
 
 def entity_counts(
