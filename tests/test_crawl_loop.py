@@ -82,11 +82,33 @@ def test_crawl_parity_with_incremental_bloom(spark, tmp_path, monkeypatch):
     seen set."""
     from mklab_focused_crawler_spark.operators import crawl as crawl_mod
 
+    monkeypatch.setattr(crawl_mod, "BROADCAST_ANTI_MAX_KEYS", -1)
     monkeypatch.setattr(crawl_mod, "FILTER_INCREMENTAL_MIN_KEYS", 0)
     monkeypatch.setattr(crawl_mod, "BROADCAST_BLOOM_MAX_BYTES", 0)
     pages, robots, seeds = _setup(spark)
     sim = _simulate(spark, pages, robots, seeds, max_iters=3)
     loop, _ = _run_loop(spark, tmp_path / "inc", pages, robots, seeds, iters=3)
+    log = loop.crawl_log().collect()
+    got = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
+    assert got == sim["order"]
+    got_seen = {
+        r["canonical_url"] for r in loop.seen_df().select("canonical_url").collect()
+    }
+    assert got_seen == sim["seen"]
+    pages.unpersist()
+
+
+def test_crawl_parity_with_broadcast_bloom(spark, tmp_path, monkeypatch):
+    """Force the mid regime (seen keys outgrow the anti-join broadcast,
+    bloom bits still broadcastable: driver-held filter + pandas-UDF
+    probe + exact confirm) and assert identical crawl order + seen
+    set."""
+    from mklab_focused_crawler_spark.operators import crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "BROADCAST_ANTI_MAX_KEYS", -1)
+    pages, robots, seeds = _setup(spark)
+    sim = _simulate(spark, pages, robots, seeds, max_iters=3)
+    loop, _ = _run_loop(spark, tmp_path / "bb", pages, robots, seeds, iters=3)
     log = loop.crawl_log().collect()
     got = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
     assert got == sim["order"]

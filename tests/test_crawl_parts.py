@@ -218,6 +218,32 @@ def test_bloom_positions_no_false_negatives_property(hashes):
     assert hit.all()  # every inserted key must test positive
 
 
+def test_merge_bloom_driver_arrow_matches_rows():
+    """The Arrow fast path of the driver-side bloom merge must produce
+    bit-identical filters to the Row-list path, both on fresh buckets
+    and when merging into existing ones."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mklab_focused_crawler_spark.operators.seen import merge_bloom_driver
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**59, 5000)
+    bks = rng.integers(0, 8, 5000)
+    rows = [{"bucket": int(b), "url_hash": int(k)} for b, k in zip(bks, keys)]
+    tbl = pa.table(
+        {"bucket": pa.array(bks, pa.int32()), "url_hash": pa.array(keys, pa.int64())}
+    )
+    t_rows, t_arrow = {}, {}
+    for _ in range(2):  # second pass merges into existing filters
+        merge_bloom_driver(t_rows, rows)
+        merge_bloom_driver(t_arrow, tbl)
+        assert t_rows.keys() == t_arrow.keys()
+        for bk in t_rows:
+            assert t_rows[bk][0] == t_arrow[bk][0]
+            assert np.array_equal(t_rows[bk][1], t_arrow[bk][1])
+
+
 # --------------------------- extraction ------------------------------
 @pytest.mark.parametrize("impl", [extract_articles, extract_articles_native])
 def test_extraction_matches_reference(spark, impl):
