@@ -119,7 +119,13 @@ N_BUCKETS_DEFAULT = 32
 # pandas-UDF bloom probe pays a Python-worker fan-out per iteration —
 # pure fixed cost at this scale (measured: it dominated small-workload
 # iterations), amortized only when candidate batches are huge.
-BROADCAST_ANTI_MAX_KEYS = 4_000_000
+# 200k, not "whatever fits in a broadcast": re-broadcasting the raw key
+# set is itself a per-iteration serial cost that grows with the seen set
+# (collect + build on the driver, core-count independent) — measured at
+# the 2M-page scaling workload (~1M seen keys) it cut local[8] crawl
+# throughput from 15.9k to 10.9k urls/s. The driver-bloom regime's
+# fixed cost is O(filter bits), ~12x smaller, so it takes over early.
+BROADCAST_ANTI_MAX_KEYS = 200_000
 # Below this bloom size the per-bucket filters are collected+broadcast so
 # the seen-prune never shuffles candidates; above it (≈10^9+ seen keys)
 # the cogroup-by-bucket path takes over. See operators/seen.filter_unseen.

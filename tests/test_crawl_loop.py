@@ -279,3 +279,30 @@ def test_resume_from_snapshot(spark, tmp_path):
     sb = sorted(r["canonical_url"] for r in loop_b2.seen_df().collect())
     assert sa == sb
     pages.unpersist()
+
+
+def test_crawl_parity_across_regime_transition(spark, tmp_path, monkeypatch):
+    """Cross the anti-join -> driver-bloom boundary MID-RUN (the seen
+    set outgrows BROADCAST_ANTI_MAX_KEYS between iterations, as it does
+    on any real crawl that starts small): the driver bloom must be
+    (re)built from the full frontier on first use, not just from keys
+    appended after the switch — golden order + seen parity across the
+    whole run pins that."""
+    from mklab_focused_crawler_spark.operators import crawl as crawl_mod
+
+    # seeds = 10 <= 40 -> anti regime at init; the frontier outgrows 40
+    # within the first iterations -> bloom regime for the rest
+    monkeypatch.setattr(crawl_mod, "BROADCAST_ANTI_MAX_KEYS", 40)
+    pages, robots, seeds = _setup(spark)
+    sim = _simulate(spark, pages, robots, seeds)
+    loop, stats = _run_loop(spark, tmp_path / "trans", pages, robots, seeds)
+    # the boundary was actually crossed (otherwise this test is vacuous)
+    assert loop._n_seen > 40 >= N_SEEDS
+    log = loop.crawl_log().collect()
+    got = [(r["iteration"], r["doc_id"], r["source_url"], r["crawl_order"]) for r in log]
+    assert got == sim["order"]
+    got_seen = {
+        r["canonical_url"] for r in loop.seen_df().select("canonical_url").collect()
+    }
+    assert got_seen == sim["seen"]
+    pages.unpersist()
