@@ -226,17 +226,18 @@ def filter_unseen(
     - ``broadcast_seen=True`` (bloom must be None): the seen KEYS
       themselves broadcast into a single anti-join — exact in one JVM
       hash probe, no confirm join, no shuffle of the candidates, and
-      **no Python anywhere**. Right below ~10^7 seen keys (8 bytes/key
-      + hash-relation overhead); this is the regime both sandbox
-      benches live in, and a probabilistic filter buys nothing here —
-      the filter exists to *compress* the seen set, and below broadcast
-      size the uncompressed keys already fit.
+      **no Python anywhere**. Right while the per-iteration re-ship of
+      the raw keys (a driver-serial cost that grows with the frontier)
+      undercuts the bloom regime's fixed O(filter bits) cost — the
+      caller caps it at crawl.BROADCAST_ANTI_MAX_KEYS (200k), well
+      before broadcast capacity matters.
     - ``broadcast_bloom=True``: broadcast the per-bucket filters (small
       — up to a few hundred MB of bits; pass a ``collect_bloom`` dict
       to skip the collect job) and probe them in a narrow scalar
       pandas UDF — the candidates are **never shuffled** for the prune.
-      Right when the seen keys outgrow the anti-join broadcast but
-      12 bits/key of filter still fits (≲10^9 seen keys).
+      Right when the seen keys outgrow the anti-join regime but
+      12 bits/key of filter still fits (≲10^9 seen keys); this is the
+      regime the scaling bench lives in.
     - cogroup (default): candidates shuffle by ``bucket`` to meet their
       bucket's filter — the only option when the filters themselves are
       too big to broadcast (the 10^10-key design point).
