@@ -97,7 +97,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scoring
-from ..functions.urls import canonicalize_url, url_host, url_path
+from ..functions.urls import MAX_URL_LENGTH, canonicalize_url, url_host, url_path
 from ..sources.synthetic_web import (
     BASE_MS,
     generate_pages,
@@ -226,6 +226,7 @@ class CrawlLoop:
         transport_factory=None,
         fetch_join: str = "broadcast",
         fetch_fn=None,
+        transport_redirects: int = 0,
     ):
         """``transport_factory``: when set, the fetch stage runs as the
         injectable-transport mapInPandas UDF (operators/fetch.py —
@@ -233,6 +234,14 @@ class CrawlLoop:
         inside the batch, status/error columns) instead of the
         page-store equi-join. ``pages`` then only provides metadata and
         the redirect map.
+
+        ``transport_redirects``: with a ``transport_factory``, > 0 moves
+        redirect expansion INTO the fetch UDF — 3xx chains followed live
+        up to this many hops, per-hop politeness-gated
+        (URLExpansionBolt.java:30 shape: expansion is chained HTTP
+        requests). No offline redirect map is built or joined anywhere
+        in the loop; the ≤300-length gate applies to the terminal URL
+        post-fetch, mirroring the offline path's post-expansion gate.
 
         ``fetch_join``: physical strategy for the page-store fetch join.
         ``"broadcast"`` (default) broadcasts the politeness-bounded
@@ -255,6 +264,8 @@ class CrawlLoop:
         assert seen_filter in (None, "bloom", "cuckoo")
         assert fetch_join in ("broadcast", "bucketed")
         assert transport_factory is None or fetch_fn is None
+        assert transport_redirects == 0 or transport_factory is not None
+        self.transport_redirects = transport_redirects
         self.fetch_join = fetch_join
         self.fetch_fn = fetch_fn
         self.spark = spark
@@ -481,10 +492,15 @@ class CrawlLoop:
             .persist()
         )
 
-        # 2. redirect expansion (≤4 hops), re-canonicalize the final URL
-        expanded = expand_redirects(claimed, redirects).withColumn(
-            "final_url", canonicalize_url(F.col("expanded_url"))
-        )
+        # 2. redirect expansion (≤4 hops), re-canonicalize the final URL.
+        # With transport_redirects the hops happen inside the fetch UDF
+        # (live-HTTP shape) and final_url appears post-fetch instead.
+        if self.transport_redirects:
+            expanded = claimed.withColumn("expanded_url", F.col("url"))
+        else:
+            expanded = expand_redirects(claimed, redirects).withColumn(
+                "final_url", canonicalize_url(F.col("expanded_url"))
+            )
 
         # 3. fetch. Default: INNER join of the claimed batch against
         # the page store on the expanded URL. Inner, not left: a left
@@ -539,10 +555,20 @@ class CrawlLoop:
                 to_fetch.repartition(n_parts, "host"),
                 self.transport_factory,
                 url_col="expanded_url",
+                max_redirects=self.transport_redirects,
             )
             fetched = raw.filter(F.col("status") == 200).drop(
                 "status", "fetch_ms", "fetch_error", "crawl_delay_ms"
             )
+            if self.transport_redirects:
+                # terminal URL of the live chain: length-gate the raw
+                # URL (the offline path gates post-expansion), then
+                # canonicalize — the same (gate → canonicalize) order
+                fetched = (
+                    fetched.filter(F.length("final_url") <= MAX_URL_LENGTH)
+                    .withColumn("final_url", canonicalize_url(F.col("final_url")))
+                    .drop("n_redirects")
+                )
         # fetch counters ride the extraction job (CollectMetrics is a
         # predicate-pushdown barrier, so the mime gate below cannot
         # leak into the counts)
@@ -847,7 +873,12 @@ class CrawlLoop:
         (``fetch_fn``/``transport_factory``) and no page store exists."""
         from .frontier import redirect_closure
 
-        if self._redirects is None:
+        if self.transport_redirects:
+            # live mode: redirects are followed inside the fetch UDF —
+            # no offline closure exists (there is nothing to build it
+            # from in a real crawl; the web IS the transport)
+            self._redirects = None
+        elif self._redirects is None:
             # ≤4-hop closure computed ONCE per loop (the redirect map is
             # static for a given page store); each iteration then
             # expands with a single broadcast join instead of 4

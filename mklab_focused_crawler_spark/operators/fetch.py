@@ -36,13 +36,25 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-# transport contract: factory() -> fetch(url) -> (status, mime, html, out_links)
+# transport contract: factory() -> fetch(url) -> (status, mime, html,
+# out_links) or, for redirect-aware transports, a 5-tuple with a trailing
+# redirect ``location`` (non-None exactly when status is 3xx)
 TransportFactory = Callable[[], Callable[[str], tuple[int, str, str, list[str]]]]
 
 FETCH_RESULT_COLS = (
     "status int, mime string, html string, "
     "out_links array<string>, fetch_ms double, fetch_error string"
 )
+REDIRECT_RESULT_COLS = ", final_url string, n_redirects int"
+
+
+def _url_host(url: str) -> str:
+    from urllib.parse import urlparse
+
+    try:
+        return urlparse(url).netloc.lower()
+    except ValueError:
+        return ""
 
 
 def fetch_with_transport(
@@ -50,57 +62,95 @@ def fetch_with_transport(
     transport_factory: TransportFactory,
     url_col: str = "expanded_url",
     delay_col: str | None = "crawl_delay_ms",
+    max_redirects: int = 0,
 ) -> DataFrame:
     """claimed rows → + (status, mime, html, out_links, fetch_ms,
     fetch_error). Input should be partitioned by host (the loop
     repartitions by host before this stage) so same-host delays are
-    enforced by a single worker."""
+    enforced by a single worker.
+
+    ``max_redirects`` > 0 enables live redirect following — the
+    URLExpansionBolt shape (URLExpansionBolt.java:30 ``max_redirects=4``:
+    expansion IS chained HTTP requests, not a lookup table): when the
+    transport reports a 3xx status with a location (5-tuple contract),
+    the worker re-requests the target, honoring the *target host's*
+    politeness clock per hop, up to ``max_redirects`` hops. Two extra
+    result columns: ``final_url`` (terminal URL of the chain) and
+    ``n_redirects`` (hops actually taken). A chain still 3xx at the cap
+    keeps its last 3xx status — the caller's status gate drops it, as
+    the reference abandons over-long chains."""
     in_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     schema = in_schema + ", " + FETCH_RESULT_COLS
+    if max_redirects > 0:
+        schema += REDIRECT_RESULT_COLS
     use_delay = delay_col is not None and delay_col in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = transport_factory()
         next_ok_ms: dict[str, float] = {}  # per-host monotonic deadline
+        def one_request(url: str, host: str, delay: float):
+            """Politeness-gated single request against ``host``'s clock.
+            Returns (status, mime, html, out_links, location)."""
+            wait = next_ok_ms.get(host, 0.0) - time.monotonic() * 1000.0
+            if wait > 0:
+                time.sleep(wait / 1000.0)
+            try:
+                got = fetch(url)
+                s, m, h, ls = got[:4]
+                loc = got[4] if len(got) > 4 else None
+                e = None
+            except Exception as exc:  # transport error -> data
+                s, m, h, ls, loc, e = -1, None, None, None, None, str(exc)
+            next_ok_ms[host] = time.monotonic() * 1000.0 + delay
+            return s, m, h, ls, loc, e
+
+        empty_cols = dict(
+            status=pd.Series([], dtype="int32"),
+            mime=pd.Series([], dtype=object),
+            html=pd.Series([], dtype=object),
+            out_links=pd.Series([], dtype=object),
+            fetch_ms=pd.Series([], dtype="float64"),
+            fetch_error=pd.Series([], dtype=object),
+        )
+        if max_redirects > 0:
+            empty_cols["final_url"] = pd.Series([], dtype=object)
+            empty_cols["n_redirects"] = pd.Series([], dtype="int32")
+
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(
-                    status=pd.Series([], dtype="int32"),
-                    mime=pd.Series([], dtype=object),
-                    html=pd.Series([], dtype=object),
-                    out_links=pd.Series([], dtype=object),
-                    fetch_ms=pd.Series([], dtype="float64"),
-                    fetch_error=pd.Series([], dtype=object),
-                )
+                yield pdf.assign(**empty_cols)
                 continue
             # host-grouped order: consecutive same-host requests so the
             # delay bookkeeping touches each host's clock once per row
             pdf = pdf.sort_values("host", kind="stable").reset_index(drop=True)
             status, mime, html, links, ms, err = [], [], [], [], [], []
+            finals, hops_col = [], []
             for row in pdf.itertuples(index=False):
-                host = row.host
                 delay = float(getattr(row, delay_col) or 0) if use_delay else 0.0
-                now = time.monotonic() * 1000.0
-                wait = next_ok_ms.get(host, 0.0) - now
-                if wait > 0:
-                    time.sleep(wait / 1000.0)
+                url, host = getattr(row, url_col), row.host
                 t0 = time.monotonic()
-                try:
-                    s, m, h, ls = fetch(getattr(row, url_col))
-                    e = None
-                except Exception as exc:  # transport error -> data
-                    s, m, h, ls, e = -1, None, None, None, str(exc)
+                s, m, h, ls, loc, e = one_request(url, host, delay)
+                hops = 0
+                # live redirect chain: each hop is a politeness-gated
+                # request to the hop target's own host
+                while (
+                    hops < max_redirects and e is None and 300 <= s < 400 and loc
+                ):
+                    url, host = loc, _url_host(loc) or host
+                    s, m, h, ls, loc, e = one_request(url, host, delay)
+                    hops += 1
                 dt = (time.monotonic() - t0) * 1000.0
-                next_ok_ms[host] = time.monotonic() * 1000.0 + delay
                 status.append(s)
                 mime.append(m)
                 html.append(h)
                 links.append(ls)
                 ms.append(dt)
                 err.append(e)
-            yield pdf.assign(
+                finals.append(url)
+                hops_col.append(hops)
+            out = dict(
                 status=pd.Series(status, dtype="int32"),
                 mime=mime,
                 html=html,
@@ -108,6 +158,10 @@ def fetch_with_transport(
                 fetch_ms=ms,
                 fetch_error=err,
             )
+            if max_redirects > 0:
+                out["final_url"] = finals
+                out["n_redirects"] = pd.Series(hops_col, dtype="int32")
+            yield pdf.assign(**out)
 
     return df.mapInPandas(run, schema)
 
@@ -115,15 +169,23 @@ def fetch_with_transport(
 class SyntheticTransport:
     """Offline transport over a broadcast {url: page-row} dict — the
     hermetic stand-in for HTTP. Picklable; ``bc`` is a Spark broadcast
-    of {url: (mime, html, out_links)}."""
+    of {url: (mime, html, out_links)}. ``redirects_bc`` (optional) is a
+    broadcast {src_url: location} single-hop map: those URLs answer
+    ``301`` with a location, exercising the live redirect-following
+    contract of :func:`fetch_with_transport`."""
 
-    def __init__(self, bc):
+    def __init__(self, bc, redirects_bc=None):
         self.bc = bc
+        self.redirects_bc = redirects_bc
 
     def __call__(self):
         table = self.bc.value
+        redirects = self.redirects_bc.value if self.redirects_bc else {}
 
         def fetch(url: str):
+            loc = redirects.get(url)
+            if loc is not None:
+                return 301, None, None, None, loc
             page = table.get(url)
             if page is None:
                 return 404, None, None, None
