@@ -147,6 +147,42 @@ def test_determinism_across_shuffle_parallelism(spark):
     assert a == b and len(a) > 0
 
 
+def _query_names():
+    import __spark_entry__ as m
+
+    return sorted(m.queries())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_every_query_partition_count_invariant(spark, name):
+    """Every driver-contract query must return the identical row set at
+    different shuffle parallelism (SURVEY §5.4): on a 1000-executor
+    cluster the partition count is an ops knob, not a semantic one, so
+    any result drift here is a plan that leaks physical layout into
+    values (e.g. a partial top-k keyed on batch boundaries)."""
+    import __spark_entry__ as m
+
+    q = m.queries()[name]
+    # two queries are legitimately empty at sf0.001 (detect_events needs
+    # 4 consecutive populated windows; ann_topk_multi's AND-amplified
+    # bucket intersection finds nothing among 50 vectors) — run those at
+    # sf0.01 so the invariance check is non-vacuous for every query
+    sf = (
+        "/root/testdata/sf0.01"
+        if name in ("detect_events", "ann_topk_multi")
+        else "/root/testdata/sf0.001"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, q(spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, q(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
+
+
 def test_gemm_topk_matches_bruteforce_any_partitioning(spark):
     """cosine_topk_gemm ≡ cosine_topk bit-for-bit, and the per-batch
     partial top-k cannot depend on partition/batch boundaries."""
