@@ -110,3 +110,46 @@ def test_fuzz_dedup_pairs(spark, tmp_path_factory, texts):
         df = m.queries()[q](spark, str(d))
         _compare(df, con, m.oracle_sql()[q])
     con.close()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+@example(texts=NASTY)
+# corpus-SIZE sensitivity: jaccard's df cap is floor(n*0.10) — the
+# round-1 fixture landed on a size where int-truncate vs round-half-away
+# coincided (ADVICE r1); tiny fuzzed corpora sweep the cap through 1
+def test_fuzz_jaccard_and_simhash(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    for q in ["jaccard_topk", "simhash_pairs"]:
+        df = m.queries()[q](spark, str(d))
+        _compare(df, con, m.oracle_sql()[q])
+    con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+@example(texts=NASTY)
+# entity extraction runs through deterministic case restoration (hash-
+# selected capitalization) then capitalized-run grouping; POS tagging is
+# suffix rules — both pure string pipelines where Unicode/NULL/empty
+# handling must agree between Spark and DuckDB
+def test_fuzz_entities_and_pos(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    for q in ["entities", "pos_tags"]:
+        df = m.queries()[q](spark, str(d))
+        _compare(df, con, m.oracle_sql()[q])
+    con.close()
