@@ -297,9 +297,11 @@ class CrawlLoop:
         # occupancy creep guard)
         self._filter_built_keys: int | None = None
         self._bloom_np: dict | None = None  # driver bloom (broadcast regime)
+        self._bloom_bc = None  # live broadcast of _bloom_np (1 per iter)
         self._bloom_built_keys: int | None = None
         self._meta: DataFrame | None = None  # cached (url, shares, pub_ms)
         self._redirects: DataFrame | None = None  # cached redirect closure
+        self._host_delays_bc = None  # {host: delay} for live redirect hops
 
     # ------------------------------------------------------------------
     def init(self, seeds: DataFrame, pages_meta: DataFrame) -> None:
@@ -404,6 +406,9 @@ class CrawlLoop:
         self.filter_table.overwrite(build(seen))
         self._filter_built_keys = self._n_seen
         self._bloom_np = None  # stale driver copy (re-collected on demand)
+        if self._bloom_bc is not None:  # broadcast of the stale bits
+            self._bloom_bc.destroy()
+            self._bloom_bc = None
 
     def _ensure_driver_bloom(self, iteration: int, frontier_df: DataFrame | None) -> dict:
         """Driver-held per-bucket bloom for the broadcast-probe regime:
@@ -551,11 +556,23 @@ class CrawlLoop:
             to_fetch = expanded.join(F.broadcast(delays), "host", "left").withColumn(
                 "crawl_delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
             )
+            if self.transport_redirects and self._host_delays_bc is None:
+                # live hops land on hosts the claim batch never joined
+                # delays for — ship the robots {host: delay} map once per
+                # loop so each hop stamps the TARGET host's own delay
+                # (robots is small by construction: it broadcast-joins)
+                self._host_delays_bc = self.spark.sparkContext.broadcast(
+                    {
+                        r["host"]: float(r["crawl_delay_ms"] or 0)
+                        for r in delays.collect()
+                    }
+                )
             raw = fetch_with_transport(
                 to_fetch.repartition(n_parts, "host"),
                 self.transport_factory,
                 url_col="expanded_url",
                 max_redirects=self.transport_redirects,
+                host_delays=self._host_delays_bc,
             )
             fetched = raw.filter(F.col("status") == 200).drop(
                 "status", "fetch_ms", "fetch_error", "crawl_delay_ms"
@@ -715,10 +732,17 @@ class CrawlLoop:
             # broadcast regime: the filter lives on the DRIVER
             # ({bucket: bits}), probed via one broadcast — no candidate
             # shuffle, and maintenance is a numpy merge after commit
-            # (zero per-iteration filter jobs; rebuild on doubling)
-            pruned = filter_unseen(
-                cand, seen, self._ensure_driver_bloom(iteration, fr)
+            # (zero per-iteration filter jobs; rebuild on doubling).
+            # The bits change every iteration, so each needs a fresh
+            # broadcast — destroy last iteration's NOW (its jobs all
+            # completed at the previous new_urls.unpersist) instead of
+            # letting snapshots pile up until the ContextCleaner runs
+            if self._bloom_bc is not None:
+                self._bloom_bc.destroy()
+            self._bloom_bc = self.spark.sparkContext.broadcast(
+                self._ensure_driver_bloom(iteration, fr)
             )
+            pruned = filter_unseen(cand, seen, self._bloom_bc)
         elif self.seen_filter == "bloom":
             # beyond-broadcast regime (10^10 keys): cogroup-by-bucket
             # prune + incremental cogroup merge into the filter table
@@ -950,6 +974,12 @@ class CrawlLoop:
         if self._redirects is not None:
             self._redirects.unpersist()
             self._redirects = None
+        if self._host_delays_bc is not None:
+            self._host_delays_bc.destroy()
+            self._host_delays_bc = None
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+            self._bloom_bc = None
 
     # ------------------------------------------------------------------
     def lineage(self) -> DataFrame:

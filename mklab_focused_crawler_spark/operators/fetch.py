@@ -63,6 +63,7 @@ def fetch_with_transport(
     url_col: str = "expanded_url",
     delay_col: str | None = "crawl_delay_ms",
     max_redirects: int = 0,
+    host_delays=None,
 ) -> DataFrame:
     """claimed rows → + (status, mime, html, out_links, fetch_ms,
     fetch_error). Input should be partitioned by host (the loop
@@ -78,7 +79,15 @@ def fetch_with_transport(
     result columns: ``final_url`` (terminal URL of the chain) and
     ``n_redirects`` (hops actually taken). A chain still 3xx at the cap
     keeps its last 3xx status — the caller's status gate drops it, as
-    the reference abandons over-long chains."""
+    the reference abandons over-long chains.
+
+    ``host_delays``: optional Spark broadcast (or plain dict) of
+    {host: crawl_delay_ms}. Redirect hops stamp the TARGET host's clock
+    with the target's own delay from this map (a hop into a slow host
+    must hold that host's clock for ITS delay, not the origin row's);
+    hosts absent from the map get 0 — the same default the loop's
+    robots left-join applies to direct rows. Without a map, hops fall
+    back to the origin row's delay (delay-homogeneous test setups)."""
     in_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -89,6 +98,9 @@ def fetch_with_transport(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = transport_factory()
+        dmap = (
+            host_delays.value if hasattr(host_delays, "value") else host_delays
+        )
         next_ok_ms: dict[str, float] = {}  # per-host monotonic deadline
         def one_request(url: str, host: str, delay: float):
             """Politeness-gated single request against ``host``'s clock.
@@ -139,7 +151,11 @@ def fetch_with_transport(
                     hops < max_redirects and e is None and 300 <= s < 400 and loc
                 ):
                     url, host = loc, _url_host(loc) or host
-                    s, m, h, ls, loc, e = one_request(url, host, delay)
+                    # the hop target's OWN delay governs its clock
+                    hop_delay = (
+                        float(dmap.get(host, 0.0)) if dmap is not None else delay
+                    )
+                    s, m, h, ls, loc, e = one_request(url, host, hop_delay)
                     hops += 1
                 dt = (time.monotonic() - t0) * 1000.0
                 status.append(s)

@@ -34,7 +34,8 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -213,7 +214,7 @@ def merge_bloom_driver(table: dict, rows) -> None:
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: DataFrame | dict | None,
+    bloom: DataFrame | dict | Broadcast | None,
     broadcast_bloom: bool = False,
     broadcast_seen: bool = False,
 ) -> DataFrame:
@@ -251,10 +252,18 @@ def filter_unseen(
             _seen_keys(seen), "url_hash", "left_anti"
         )
 
-    if broadcast_bloom or isinstance(bloom, dict):
+    if broadcast_bloom or isinstance(bloom, (dict, Broadcast)):
         spark = candidates.sparkSession
-        table = bloom if isinstance(bloom, dict) else collect_bloom(bloom)
-        bc = spark.sparkContext.broadcast(table)
+        if isinstance(bloom, Broadcast):
+            # caller-owned broadcast: the caller controls the lifecycle
+            # (the crawl loop re-broadcasts its driver-maintained bits
+            # each iteration and destroys the previous one — without
+            # that, per-iteration broadcasts pile up in the block
+            # managers until the JVM ContextCleaner happens to run)
+            bc = bloom
+        else:
+            table = bloom if isinstance(bloom, dict) else collect_bloom(bloom)
+            bc = spark.sparkContext.broadcast(table)
 
         @F.pandas_udf("boolean")
         def might(url_hash: pd.Series, bucket: pd.Series) -> pd.Series:
@@ -317,14 +326,3 @@ def _seen_keys(seen: DataFrame) -> DataFrame:
     sorts."""
     return seen.select("url_hash").hint("shuffle_hash")
 
-
-def first_seen_wins(new_rows: DataFrame) -> DataFrame:
-    """Dedup a batch of candidate rows to one winner per url_hash —
-    deterministic: lowest (priority asc) wins; callers pass e.g.
-    discovery order or score rank as ``priority``."""
-    w = F.row_number().over(
-        Window.partitionBy("url_hash").orderBy(
-            F.asc("priority"), F.asc("canonical_url")
-        )
-    )
-    return new_rows.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")

@@ -41,20 +41,40 @@ PROBE_MOD = 50  # probe set = vec_id % PROBE_MOD == 0
 NEAR_DUP_NUM, NEAR_DUP_DEN = 3, 10
 
 
-def _plane_weights() -> list[list[int]]:
+def _gen_planes(prefix: str, n_planes: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes, identical literals on both engines:
-    bit k of md5('plane-<p>-<d>') decides the sign."""
+    bit 0 of md5('<prefix>plane-<p>-<d>') decides the sign. The single
+    generator for every LSH family here (single-table uses prefix "",
+    multi-table "t<i>-", IVF "ivf-") — one scheme to keep in sync with
+    the SQL twins, not three."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(DIM):
-            h = hashlib.md5(f"plane-{p}-{d}".encode()).digest()[0]
+            h = hashlib.md5(f"{prefix}plane-{p}-{d}".encode()).digest()[0]
             row.append(1 if h % 2 == 1 else -1)
         planes.append(row)
     return planes
 
 
-PLANES = _plane_weights()
+PLANES = _gen_planes("", N_PLANES)
+
+
+def _bucket_for(q_col, planes: list[list[int]]) -> F.Column:
+    """Bucket id under ``planes``: bit p set iff <q, plane_p> >= 0."""
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        s = qdot(q_col, F.lit(plane))
+        out = out + F.when(s >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def _bucket_for_sql(q_expr: str, planes: list[list[int]]) -> str:
+    parts = []
+    for p, plane in enumerate(planes):
+        w = "[" + ", ".join(str(v) for v in plane) + "]"
+        parts.append(f"(CASE WHEN {qdot_sql(q_expr, w)} >= 0 THEN {2**p} ELSE 0 END)")
+    return "CAST((" + " + ".join(parts) + ") AS INT)"
 
 
 # ---------------------------------------------------------------------------
@@ -284,21 +304,12 @@ def cosine_topk_gemm_sql(k: int = TOP_K) -> str:
 
 
 def lsh_bucket(q_col) -> F.Column:
-    """Bucket id: bit p set iff <q, plane_p> >= 0."""
-    out = F.lit(0)
-    for p in range(N_PLANES):
-        s = qdot(q_col, F.lit(PLANES[p]))
-        out = out + F.when(s >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out.cast("int")
+    """Single-table bucket id (the PLANES family)."""
+    return _bucket_for(q_col, PLANES)
 
 
 def lsh_bucket_sql(q_expr: str) -> str:
-    parts = []
-    for p in range(N_PLANES):
-        w = "[" + ", ".join(str(v) for v in PLANES[p]) + "]"
-        s = qdot_sql(q_expr, w)
-        parts.append(f"(CASE WHEN {s} >= 0 THEN {2**p} ELSE 0 END)")
-    return "CAST((" + " + ".join(parts) + ") AS INT)"
+    return _bucket_for_sql(q_expr, PLANES)
 
 
 def ann_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -386,34 +397,7 @@ N_TABLES = 4
 MULTI_PLANES = 10
 
 
-def _gen_planes(prefix: str, n_planes: int) -> list[list[int]]:
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for d in range(DIM):
-            h = hashlib.md5(f"{prefix}plane-{p}-{d}".encode()).digest()[0]
-            row.append(1 if h % 2 == 1 else -1)
-        planes.append(row)
-    return planes
-
-
 MULTI_PLANE_SETS = [_gen_planes(f"t{t}-", MULTI_PLANES) for t in range(N_TABLES)]
-
-
-def _bucket_for(q_col, planes: list[list[int]]) -> F.Column:
-    out = F.lit(0)
-    for p, plane in enumerate(planes):
-        s = qdot(q_col, F.lit(plane))
-        out = out + F.when(s >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out.cast("int")
-
-
-def _bucket_for_sql(q_expr: str, planes: list[list[int]]) -> str:
-    parts = []
-    for p, plane in enumerate(planes):
-        w = "[" + ", ".join(str(v) for v in plane) + "]"
-        parts.append(f"(CASE WHEN {qdot_sql(q_expr, w)} >= 0 THEN {2**p} ELSE 0 END)")
-    return "CAST((" + " + ".join(parts) + ") AS INT)"
 
 
 def ann_topk_multi(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:

@@ -147,6 +147,50 @@ def test_redirect_hop_honors_target_host_clock(spark):
     assert times[1] - times[0] >= 0.058, times
 
 
+def test_redirect_hop_uses_target_hosts_own_delay(spark):
+    """The hop must stamp the target host's clock with the TARGET's
+    robots delay, not the origin row's: a fast host redirecting into a
+    slow host must still hold the slow host's clock for ITS delay (and
+    conversely must not export the origin's big delay onto a fast
+    target). Delays are heterogeneous here precisely because the
+    equal-delay test above cannot distinguish the value's source."""
+
+    def factory():
+        import time as _t
+
+        chain = {"http://fast.test/r": "http://slow.test/target"}
+
+        def fetch(url: str):
+            loc = chain.get(url)
+            if loc is not None:
+                return 301, None, None, None, loc
+            return 200, "text/html", repr(_t.monotonic()), []
+
+        return fetch
+
+    # row order after host sort: fast.test/r first (hop hits slow.test,
+    # stamping slow's 80ms delay), then the two direct slow.test rows —
+    # consecutive slow.test hits must each be >=80ms apart even though
+    # the ORIGIN row's delay (fast.test) is 0
+    df = spark.createDataFrame(
+        [
+            ("http://fast.test/r", "fast.test", 0),
+            ("http://slow.test/d1", "slow.test", 80),
+            ("http://slow.test/d2", "slow.test", 80),
+        ],
+        "expanded_url string, host string, crawl_delay_ms int",
+    ).coalesce(1)
+    out = fetch_with_transport(
+        df,
+        factory,
+        max_redirects=4,
+        host_delays={"fast.test": 0.0, "slow.test": 80.0},
+    ).collect()
+    times = sorted(float(r["html"]) for r in out)
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= 0.078 for g in gaps), gaps
+
+
 def test_crawl_golden_parity_with_transport(spark, tmp_path):
     """The loop's fetch join swapped for the transport UDF must produce
     the identical crawl order and seen set."""
