@@ -224,7 +224,20 @@ def lsh_pairs(corpus: DataFrame) -> DataFrame:
     Jaccard → threshold. Only candidate pairs are verified (never the
     cross product), and the candidate dedup shuffles ids only — the
     shingle arrays rejoin afterwards from the persisted signature table
-    (one hash pass over the corpus, total)."""
+    (one hash pass over the corpus, total).
+
+    The signature cache lives until the session drops it: a lazy query
+    surface has no post-action hook to release it. Eager callers should
+    use :func:`lsh_pairs_with_sigs` and unpersist the handle once the
+    pair set is materialized (duplicate_clusters does)."""
+    pairs, _sigs = lsh_pairs_with_sigs(corpus)
+    return pairs
+
+
+def lsh_pairs_with_sigs(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(pairs, sigs): the pair pipeline plus the persisted signature
+    table it reads 3× — the caller owns sigs.unpersist() after
+    materializing pairs."""
     sigs = minhash_signatures(corpus).persist()
     bands = sigs.select(
         "doc_id",
@@ -260,7 +273,7 @@ def lsh_pairs(corpus: DataFrame) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
+    pairs = (
         cand.withColumn(
             "jaccard",
             F.round(
@@ -270,6 +283,7 @@ def lsh_pairs(corpus: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return pairs, sigs
 
 
 def lsh_pairs_sql() -> str:
@@ -593,9 +607,8 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     e1 = exact.filter(F.col("dup_count") > 1).select(
         F.col("doc_id").alias("a"), F.col("canonical_doc_id").alias("b")
     )
-    near = lsh_pairs(corpus).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
+    near_pairs, sigs = lsh_pairs_with_sigs(corpus)
+    near = near_pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = e1.unionByName(near).filter(F.col("a") != F.col("b")).dropDuplicates(
         ["a", "b"]
     ).persist()
@@ -606,7 +619,8 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     # the iterative min-label join path runs — same deterministic
     # output, no driver materialization. Mirrors Catalyst's own
     # broadcast-vs-shuffle join choice.
-    n_edges = edges.count()
+    n_edges = edges.count()  # materializes the edge cache...
+    sigs.unpersist()  # ...so the LSH signature table can go now
     if n_edges <= 1_000_000:
         parent: dict = {}
 
@@ -676,6 +690,8 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     out = labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     )
+    # labels (the final round's cache) stays: `out` references it lazily.
+    edges.unpersist()
     adj.unpersist()
     return out
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Callable, Iterator
+from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -48,13 +49,21 @@ FETCH_RESULT_COLS = (
 REDIRECT_RESULT_COLS = ", final_url string, n_redirects int"
 
 
-def _url_host(url: str) -> str:
-    from urllib.parse import urlparse
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+_HOST_RE = __import__("re").compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)")
 
-    try:
-        return urlparse(url).netloc.lower()
-    except ValueError:
-        return ""
+
+def _url_host(url: str) -> str:
+    """EXACT Python mirror of ``functions.urls.url_host`` (same regex,
+    same ASCII-only lowercase): hop hosts must hit the same keys as the
+    pipeline's host column — the robots delay map and the politeness
+    clock of the host's direct rows — or a redirect into
+    ``http://Host:8080/x`` would silently run on a second clock with no
+    delay."""
+    m = _HOST_RE.match(url or "")
+    return m.group(1).translate(_ASCII_LOWER) if m else ""
 
 
 def fetch_with_transport(
@@ -87,7 +96,19 @@ def fetch_with_transport(
     must hold that host's clock for ITS delay, not the origin row's);
     hosts absent from the map get 0 — the same default the loop's
     robots left-join applies to direct rows. Without a map, hops fall
-    back to the origin row's delay (delay-homogeneous test setups)."""
+    back to the origin row's delay (delay-homogeneous test setups).
+
+    Known approximation: the batch is partitioned by ORIGIN host, so a
+    hop into host B from host A's partition runs on a different worker
+    than B's own rows — each worker's clock is private, so a host that
+    many OTHER hosts redirect into can see up to (1 + redirecting
+    partitions) × its allowed rate within one super-step. The reference
+    has the same shape (URLExpansionBolt follows redirects inline on
+    whatever thread holds the tuple; its politeness is the pool's
+    per-route cap, not a global clock). Exact cross-partition politeness
+    would need a two-phase fetch (resolve 3xx → reshuffle by target
+    host → fetch), which doubles the stage count for a rare case; the
+    BSP claim quota still bounds total per-host volume per super-step."""
     in_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -104,10 +125,14 @@ def fetch_with_transport(
         next_ok_ms: dict[str, float] = {}  # per-host monotonic deadline
         def one_request(url: str, host: str, delay: float):
             """Politeness-gated single request against ``host``'s clock.
-            Returns (status, mime, html, out_links, location)."""
+            Returns (status, mime, html, out_links, location, error,
+            fetch-only elapsed ms — the politeness wait is the
+            scheduler's time, not the transport's, so it never lands in
+            fetch_ms)."""
             wait = next_ok_ms.get(host, 0.0) - time.monotonic() * 1000.0
             if wait > 0:
                 time.sleep(wait / 1000.0)
+            t0 = time.monotonic()
             try:
                 got = fetch(url)
                 s, m, h, ls = got[:4]
@@ -115,8 +140,9 @@ def fetch_with_transport(
                 e = None
             except Exception as exc:  # transport error -> data
                 s, m, h, ls, loc, e = -1, None, None, None, None, str(exc)
-            next_ok_ms[host] = time.monotonic() * 1000.0 + delay
-            return s, m, h, ls, loc, e
+            now = time.monotonic()
+            next_ok_ms[host] = now * 1000.0 + delay
+            return s, m, h, ls, loc, e, (now - t0) * 1000.0
 
         empty_cols = dict(
             status=pd.Series([], dtype="int32"),
@@ -142,22 +168,24 @@ def fetch_with_transport(
             for row in pdf.itertuples(index=False):
                 delay = float(getattr(row, delay_col) or 0) if use_delay else 0.0
                 url, host = getattr(row, url_col), row.host
-                t0 = time.monotonic()
-                s, m, h, ls, loc, e = one_request(url, host, delay)
+                s, m, h, ls, loc, e, dt = one_request(url, host, delay)
                 hops = 0
                 # live redirect chain: each hop is a politeness-gated
-                # request to the hop target's own host
+                # request to the hop target's own host. Location values
+                # may be relative (RFC 7231 §7.1.2) — resolve against
+                # the current URL before requesting.
                 while (
                     hops < max_redirects and e is None and 300 <= s < 400 and loc
                 ):
-                    url, host = loc, _url_host(loc) or host
+                    url = urljoin(url, loc)
+                    host = _url_host(url) or host
                     # the hop target's OWN delay governs its clock
                     hop_delay = (
                         float(dmap.get(host, 0.0)) if dmap is not None else delay
                     )
-                    s, m, h, ls, loc, e = one_request(url, host, hop_delay)
+                    s, m, h, ls, loc, e, hop_dt = one_request(url, host, hop_delay)
+                    dt += hop_dt
                     hops += 1
-                dt = (time.monotonic() - t0) * 1000.0
                 status.append(s)
                 mime.append(m)
                 html.append(h)

@@ -30,10 +30,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.urls import MAX_URL_LENGTH  # single source for the ≤300 gate
+
 MAX_PER_ROUTE = 10  # WebPageFetcherBolt.java:84
 ITER_WINDOW_MS = 1000  # politeness accounting window per iteration
 N_SALTS = 8
-MAX_URL_LENGTH = 300  # ArticleExtractionBolt.java:230
 
 
 def host_quota(crawl_delay_ms, window_ms: int = ITER_WINDOW_MS) -> F.Column:

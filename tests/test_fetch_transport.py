@@ -147,6 +147,50 @@ def test_redirect_hop_honors_target_host_clock(spark):
     assert times[1] - times[0] >= 0.058, times
 
 
+def test_relative_location_resolves_against_current_url(spark):
+    """Location headers may be relative (RFC 7231 §7.1.2) — the hop
+    must urljoin against the current URL, not request the bare path."""
+
+    def factory():
+        chain = {
+            "http://a.test/dir/r": "/abs-path",  # absolute-path relative
+            "http://a.test/abs-path": "sibling",  # relative reference
+        }
+
+        def fetch(url: str):
+            loc = chain.get(url)
+            if loc is not None:
+                return 301, None, None, None, loc
+            if not url.startswith("http://"):
+                raise ValueError(f"transport got non-absolute url: {url}")
+            return 200, "text/html", f"<p>{url}</p>", []
+
+        return fetch
+
+    df = spark.createDataFrame(
+        [("http://a.test/dir/r", "a.test", 0)],
+        "expanded_url string, host string, crawl_delay_ms int",
+    )
+    [r] = fetch_with_transport(df, factory, max_redirects=4).collect()
+    assert r["status"] == 200 and r["n_redirects"] == 2
+    assert r["final_url"] == "http://a.test/sibling"
+
+
+def test_hop_host_key_matches_pipeline_url_host():
+    """The worker's Python host extractor must agree with the pipeline's
+    url_host column (robots keys, clock keys): port stripped, ASCII
+    lowercase only, '' for relative/garbage."""
+    from mklab_focused_crawler_spark.operators.fetch import _url_host
+
+    assert _url_host("http://Slow.Test:8080/x") == "slow.test"
+    assert _url_host("https://HOST.example/p?q#f") == "host.example"
+    assert _url_host("http://İstanbul.test/") == "İstanbul.test".translate(
+        str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    )  # ASCII-only lowering, Unicode untouched — same as ascii_lower
+    assert _url_host("/relative/path") == ""
+    assert _url_host("") == "" and _url_host(None) == ""
+
+
 def test_redirect_hop_uses_target_hosts_own_delay(spark):
     """The hop must stamp the target host's clock with the TARGET's
     robots delay, not the origin row's: a fast host redirecting into a
