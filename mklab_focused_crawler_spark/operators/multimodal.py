@@ -148,15 +148,13 @@ def media_pipeline_sql() -> str:
     per-doc aggregate — full cross-engine check of the plumbing."""
     from ..functions.hashing import hash64_sql
     from ..functions.text import tokenize_sql
-    from .spans import BLOCK_TOKENS, MEDIA_EVERY
+    from .spans import BLOCK_TOKENS, MEDIA_EVERY, media_ref_sql
 
     toks = tokenize_sql("coalesce(text, '')")
     n_text = f"CAST(ceil(len({toks}) / {BLOCK_TOKENS}.0) AS INT)"
-    mref = (
-        "'Web#' || CAST("
-        + hash64_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
-        + " AS VARCHAR)"
-    )
+    # the one canonical media_ref twin (spans.media_ref_sql) — build_spans'
+    # scheme must never fork between the span and media oracles
+    mref = media_ref_sql("doc_id", "i")
     return f"""
         WITH docs AS (
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, {n_text} AS n_text
@@ -197,9 +195,13 @@ def media_pipeline(spans_df: DataFrame) -> DataFrame:
     """End-to-end: spans → media rows → decode (fake codec) → size
     filter → per-doc media stats. The aggregate output is small and
     deterministic — the pipeline's test surface."""
-    # persisted: the spans explode + payload derivation feeds both the
-    # decode UDF and the metadata re-join — one pass, not two
-    media = media_table_from_spans(spans_df).persist()
+    # NOT persisted: the decode UDF consumes the payload-bearing pass,
+    # while the metadata re-join side is a narrow (doc_id, media_ref)
+    # projection that Catalyst prunes to a payload-free explode — the
+    # cheap recompute beats pinning payload binaries in executor storage
+    # (a persist here leaked one payload-sized cache per invocation for
+    # the session's lifetime, with no post-action hook to release it)
+    media = media_table_from_spans(spans_df)
     decoded = decode_media(media, deterministic_fake=True)
     kept = filter_media(decoded)
     joined = media.select("doc_id", "media_ref").join(kept, "media_ref")

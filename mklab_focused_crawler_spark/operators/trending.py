@@ -157,7 +157,15 @@ def contributor_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            # sum recovered integer cents, divide once: double summation
+            # order differs between Spark's partial/merge aggregation and
+            # DuckDB's scan order, so round(sum(double),6) can flip at a
+            # rounding boundary; integer sums are order-independent and
+            # the final /100 is one correctly-rounded IEEE division
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("value_sum"),
         )
     )
 
@@ -166,7 +174,9 @@ def contributor_counts_sql() -> str:
     ws = _win_start_ms_sql("ts", EVENT_WINDOW_MS)
     return f"""
         SELECT {ws} AS window_start_ms, user_id,
-               count(*) AS n_events, round(sum(value), 6) AS value_sum
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS value_sum
         FROM events GROUP BY 1, 2
         ORDER BY window_start_ms, user_id
     """

@@ -68,7 +68,15 @@ def windowed_contributors(stream: DataFrame, watermark: str = "30 minutes") -> D
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", EVENT_WINDOW).alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # integer-cents sum, same as batch contributor_counts: exact
+            # regardless of micro-batch / partial-aggregation order
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("value_sum"),
+        )
         .select(
             F.unix_millis(F.col("win")["start"].cast("timestamp")).alias(
                 "window_start_ms"

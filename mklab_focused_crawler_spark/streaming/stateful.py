@@ -29,9 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
-from ..operators.trending import EVENT_WINDOW_MS
-
-N_WINDOWS = 5
+from ..operators.trending import EVENT_WINDOW_MS, N_WINDOWS
 
 OUTPUT_SCHEMA = "term string, window_idx long, cnt long"
 STATE_SCHEMA = "windows array<bigint>, counts array<bigint>"
@@ -70,7 +68,18 @@ def _update(
 def streaming_trend_candidates(stream: DataFrame) -> DataFrame:
     """events stream (ts, event_type) → candidate rows per micro-batch.
 
-    Keyed state by term; window index = epoch // EVENT_WINDOW_MS."""
+    Keyed state by term; window index = epoch // EVENT_WINDOW_MS.
+
+    Emission contract: **at-least-once per (term, window_idx), counts
+    monotonically refined** — if a window's events span micro-batches,
+    the candidate row is re-emitted with the updated (higher) count each
+    time the rule holds. The intended sink is a keyed upsert by
+    (term, window_idx) (the reference's Mongo writes are upserts too);
+    after all events arrive, the upserted row equals the batch twin's.
+    Like the reference's alert semantics (EventDetectionBolt fires when
+    the condition holds at flush time), an emitted candidate is never
+    retracted if late-arriving events for OLDER windows break the
+    monotone condition retroactively."""
     keyed = stream.select(
         F.col("event_type").alias("term"),
         (F.unix_millis(F.col("ts").cast("timestamp")) / EVENT_WINDOW_MS)

@@ -91,9 +91,22 @@ def test_stateful_trend_candidates_match_batch(spark, tmp_path):
     synth_pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
+    # SPLIT the surge term's newest window across two files (two
+    # micro-batches at maxFilesPerTrigger=1): the first batch sees ring
+    # [1,1,2,4,6] (monotone+accelerating → a PARTIAL candidate emits
+    # with cnt=6), the second adds the remaining 2 events and re-emits
+    # cnt=8 — exercising the documented at-least-once / monotone-refine
+    # emission contract instead of relying on term-disjoint files
+    surge_last2 = synth_pdf[synth_pdf.event_type == "surge"].tail(2)
+    first_part = synth_pdf.drop(surge_last2.index)
     pq.write_table(
-        pa.Table.from_pandas(synth_pdf, preserve_index=False),
-        str(in_dir / "synth.parquet"),
+        pa.Table.from_pandas(first_part, preserve_index=False),
+        str(in_dir / "synth_a.parquet"),
+        coerce_timestamps="us",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(surge_last2, preserve_index=False),
+        str(in_dir / "synth_b.parquet"),
         coerce_timestamps="us",
     )
     stream = read_events_stream(spark, str(in_dir))
@@ -107,12 +120,20 @@ def test_stateful_trend_candidates_match_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    got = {tuple(r) for r in spark.table("trend_candidates").collect()}
+    # upsert-sink semantics (see streaming_trend_candidates docstring):
+    # the append-mode memory table holds every at-least-once emission;
+    # the upserted value per (term, window) is the max (counts only
+    # grow), and THAT must equal the batch twin exactly
+    upserted: dict[tuple, int] = {}
+    for r in spark.table("trend_candidates").collect():
+        k = (r["term"], r["window_idx"])
+        upserted[k] = max(upserted.get(k, 0), r["cnt"])
     want = {
-        tuple(r)
+        (r["term"], r["window_idx"]): r["cnt"]
         for r in batch_trend_candidates(spark.read.parquet(str(in_dir))).collect()
     }
-    assert got == want
+    assert upserted == want
+    got = {(t, w, c) for (t, w), c in upserted.items()}
     # non-vacuous: the injected surge fired, the decelerating decoy didn't
     assert any(t[0] == "surge" for t in got)
     assert not any(t[0] == "decoy" for t in got)
