@@ -30,6 +30,16 @@ from .hashing import hash64, hash64_sql
 ENTITY_PATTERN = r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\b"
 _ENTITY_RE = re.compile(ENTITY_PATTERN)
 TOKEN_PATTERN = r"[A-Za-z0-9]+"
+# Everything outside ASCII word chars + ASCII whitespace becomes a space
+# BEFORE the boundary regex runs: `\b` next to a non-ASCII letter is
+# engine-divergent (Java/Python treat À/ß as word chars — no boundary;
+# RE2/DuckDB is ASCII-only — boundary), and RE2 has no lookarounds to
+# express the boundary explicitly. Post-sanitize, the text contains only
+# chars on which all three regex engines agree. Found by the
+# differential fuzzer (texts=['AaÀ']: Spark 0 rows, DuckDB 1).
+SANITIZE_PATTERN = r"[^A-Za-z0-9_ \t\r\n]"
+_SANITIZE_RE = re.compile(SANITIZE_PATTERN)
+_A_Z = "abcdefghijklmnopqrstuvwxyz"
 
 ENTITY_SCHEMA = "doc_id string, entity string, n_mentions int"
 POS_SCHEMA = "doc_id string, token string, tag string"
@@ -37,7 +47,7 @@ POS_SCHEMA = "doc_id string, token string, tag string"
 
 def _heuristic_entities(text: str) -> dict[str, int]:
     out: dict[str, int] = {}
-    for m in _ENTITY_RE.finditer(text or ""):
+    for m in _ENTITY_RE.finditer(_SANITIZE_RE.sub(" ", text or "")):
         e = m.group(1)
         out[e] = out.get(e, 0) + 1
     return out
@@ -86,7 +96,9 @@ def restore_case(text_col) -> F.Column:
         return F.when(
             (F.length(tk) > 0) & (hash64(tk) % CASE_MOD == 0),
             F.concat(
-                F.upper(tk.substr(F.lit(1), F.lit(1))),
+                # ASCII-only upper via translate: engine upper() is
+                # Unicode (ß→SS, i→İ under some collations) and diverges
+                F.translate(tk.substr(F.lit(1), F.lit(1)), _A_Z, _A_Z.upper()),
                 tk.substr(F.lit(2), F.length(tk)),
             ),
         ).otherwise(tk)
@@ -98,7 +110,8 @@ def restore_case_sql(expr: str) -> str:
     return (
         f"array_to_string(list_transform(string_split(coalesce({expr}, ''), ' '), "
         f"t -> CASE WHEN length(t) > 0 AND ({hash64_sql('t')}) % {CASE_MOD} = 0 "
-        f"THEN upper(substr(t, 1, 1)) || substr(t, 2) ELSE t END), ' ')"
+        f"THEN translate(substr(t, 1, 1), '{_A_Z}', '{_A_Z.upper()}') || substr(t, 2) "
+        f"ELSE t END), ' ')"
     )
 
 
@@ -108,7 +121,9 @@ def entity_counts(
     """(doc_id, entity, n_mentions) — EntityExtractionBolt.java:91-113
     dedup/count behavior over capitalized-run entities, as pure column
     expressions."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), SANITIZE_PATTERN, " "
+    )
     ents = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.regexp_extract_all(t, F.lit(ENTITY_PATTERN), 1)).alias(
@@ -125,7 +140,9 @@ def entity_counts_sql(table: str = "documents") -> str:
     return f"""
         WITH e AS (
             SELECT doc_id,
-                   unnest(regexp_extract_all(coalesce(text, ''),
+                   unnest(regexp_extract_all(
+                          regexp_replace(coalesce(text, ''),
+                                         '{SANITIZE_PATTERN}', ' ', 'g'),
                           '{ENTITY_PATTERN}', 1)) AS entity
             FROM {table}
         )

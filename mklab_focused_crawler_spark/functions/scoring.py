@@ -101,6 +101,73 @@ def det_exp_py(x: float) -> float:
 
 
 # --------------------------------------------------------------------------
+# det_log10_ratio: deterministic log10(n/d) for integer n >= d >= 1,
+# bit-identical across engines (the trending idf/shift formulas need a
+# log10 whose OUTPUT doubles agree between Spark and DuckDB — libm
+# log10 does not guarantee that; CLAUDE.md: never compare raw log/exp
+# doubles across engines).
+#   m = n/d            IEEE division of exactly-representable ints: exact
+#   j = bit_length(floor(m)) - 1   via length(bin(...)) — exact integer
+#   r = m / 2^j ∈ [1,2)            division by a power of two: exact
+#   u = (r-1)/(r+1) ∈ [0, 1/3]
+#   ln r = 2u · Σ u^{2k}/(2k+1), k = 0.._LOG_DEGREE (Horner)
+#   log10(n/d) = (j·ln2 + ln r) / ln10
+# Truncation < 3e-13 at u = 1/3 — far inside the 9dp rounding the
+# consumers apply; cross-engine identity holds at ANY degree because
+# both engines run the identical correctly-rounded op sequence.
+# --------------------------------------------------------------------------
+
+_LN10 = 2.302585092994046
+_LOG_DEGREE = 11
+_LOG_COEFFS = [1.0 / (2 * k + 1) for k in range(_LOG_DEGREE + 1)]
+
+
+def det_log10_ratio(n: Column, d: Column) -> Column:
+    """Deterministic log10(n/d) for integer columns n >= d >= 1 (the
+    idf shape: total docs / docs-with-term). NULL-propagating."""
+    m = n.cast("double") / d.cast("double")
+    j = F.length(F.bin(F.floor(m).cast("long"))) - F.lit(1)
+    pow2 = F.call_function("shiftleft", F.lit(1).cast("long"), j.cast("int")).cast(
+        "double"
+    )
+    r = m / pow2
+    u = (r - F.lit(1.0)) / (r + F.lit(1.0))
+    u2 = u * u
+    p = F.lit(_LOG_COEFFS[_LOG_DEGREE])
+    for c in reversed(_LOG_COEFFS[:_LOG_DEGREE]):
+        p = p * u2 + F.lit(c)
+    return (j.cast("double") * F.lit(_LN2) + F.lit(2.0) * u * p) / F.lit(_LN10)
+
+
+def det_log10_ratio_sql(n_expr: str, d_expr: str) -> str:
+    """DuckDB twin — same op sequence textually. The expressions are
+    substituted many times; pass short column names."""
+    m = f"(CAST({n_expr} AS DOUBLE) / CAST({d_expr} AS DOUBLE))"
+    j = f"(length(bin(CAST(floor({m}) AS BIGINT))) - 1)"
+    pow2 = f"CAST((CAST(1 AS BIGINT) << CAST({j} AS INT)) AS DOUBLE)"
+    r = f"({m} / {pow2})"
+    u = f"(({r} - 1.0) / ({r} + 1.0))"
+    u2 = f"({u} * {u})"
+    p = repr(_LOG_COEFFS[_LOG_DEGREE])
+    for c in reversed(_LOG_COEFFS[:_LOG_DEGREE]):
+        p = f"(({p}) * {u2} + {c!r})"
+    return f"((CAST({j} AS DOUBLE) * {_LN2!r} + 2.0 * {u} * ({p})) / {_LN10!r})"
+
+
+def det_log10_ratio_py(n: int, d: int) -> float:
+    """Pure-Python det_log10_ratio (same bits) — for tests."""
+    m = float(n) / float(d)
+    j = int(math.floor(m)).bit_length() - 1
+    r = m / float(1 << j)
+    u = (r - 1.0) / (r + 1.0)
+    u2 = u * u
+    p = _LOG_COEFFS[_LOG_DEGREE]
+    for c in reversed(_LOG_COEFFS[:_LOG_DEGREE]):
+        p = p * u2 + c
+    return (j * _LN2 + 2.0 * u * p) / _LN10
+
+
+# --------------------------------------------------------------------------
 # score formulas (RankerBolt / MediaRankerBolt / ItemsRankerBolt)
 # --------------------------------------------------------------------------
 

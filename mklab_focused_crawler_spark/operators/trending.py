@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scoring import det_log10_ratio, det_log10_ratio_sql
+
 TOP_K = 3
 COUNT_WINDOW = "10 minutes"
 COUNT_WINDOW_MS = 10 * 60 * 1000
@@ -200,7 +202,10 @@ def idf_windows(events: DataFrame) -> DataFrame:
     df_t = base.groupBy("window_idx", "term").agg(F.count(F.lit(1)).alias("df"))
     totals = base.groupBy("window_idx").agg(F.count(F.lit(1)).alias("n_docs"))
     joined = df_t.join(totals, "window_idx")
-    idf = F.log10(F.col("n_docs") / F.col("df"))
+    # det_log10_ratio, not F.log10: the shift column DIVIDES BY idf and
+    # both are hash-compared at 9dp — per CLAUDE.md, raw libm log10
+    # doubles must never be compared across engines
+    idf = det_log10_ratio(F.col("n_docs"), F.col("df"))
     w = Window.partitionBy("term").orderBy("window_idx")
     out = joined.withColumn("idf", idf).withColumn(
         "prev_idf", F.lag("idf").over(w)
@@ -234,7 +239,7 @@ def idf_windows_sql() -> str:
         ),
         j AS (
             SELECT d.window_idx, d.term, d.df, t.n_docs,
-                   log10(t.n_docs * 1.0 / d.df) AS idf
+                   {det_log10_ratio_sql("t.n_docs", "d.df")} AS idf
             FROM df_t d JOIN totals t USING (window_idx)
         ),
         seq AS (
@@ -289,13 +294,20 @@ def detect_events(events: DataFrame) -> DataFrame:
             F.col("n_docs") * F.col(f"df_{i}") <= F.col(f"n_{i}") * F.col("df")
         )
     # (c) shift accelerating: shift(w) >= shift(w-i) for i=1..3 where
-    # shift(w) = (idf_{w-1}-idf_w)/idf_w. Compare via rounded doubles —
-    # the ratio r_i = n_i/df_i enters as log10 but inputs are identical
-    # integers on both engines; rounding to 9dp absorbs ulp skew.
-    def idf_at(i: int) -> F.Column:
+    # shift(w) = (idf_{w-1}-idf_w)/idf_w. idf values come from
+    # det_log10_ratio (NOT libm F.log10): the shifts divide by idf and
+    # feed cross-engine >= comparisons and a 9dp hash-compared column —
+    # with libm, a 1-ulp JVM-vs-DuckDB log10 skew landing on a rounding
+    # boundary flips the predicate (CLAUDE.md: never compare raw
+    # log/exp doubles across engines). det values are bit-identical, so
+    # every downstream +,-,/ and round is too.
+    for i in range(N_WINDOWS):
         n = F.col("n_docs") if i == 0 else F.col(f"n_{i}")
         d = F.col("df") if i == 0 else F.col(f"df_{i}")
-        return F.log10(n / d)
+        cur = cur.withColumn(f"_idf_{i}", det_log10_ratio(n, d))
+
+    def idf_at(i: int) -> F.Column:
+        return F.col(f"_idf_{i}")
 
     def shift_at(i: int) -> F.Column:  # shift of window w-i
         return F.round(
@@ -314,7 +326,7 @@ def detect_events(events: DataFrame) -> DataFrame:
             "term",
             "df",
             "n_docs",
-            F.round(F.log10(F.col("n_docs") / F.col("df")), 9).alias("idf"),
+            F.round(F.col("_idf_0"), 9).alias("idf"),
             shift_at(0).alias("shift"),
         )
     )
@@ -335,15 +347,20 @@ def detect_events_sql() -> str:
         f"n_docs * df_{i} <= n_{i} * df" for i in range(1, N_WINDOWS)
     )
 
-    def idf_at(i: int) -> str:
+    # det_log10_ratio columns (one per lag depth) in their own stage so
+    # the ~10KB deterministic-log expansion appears once per depth and
+    # the shift predicates reference short names — mirrors the Spark
+    # side's _idf_i withColumns exactly
+    idf_cols = []
+    for i in range(N_WINDOWS):
         n = "n_docs" if i == 0 else f"n_{i}"
         d = "df" if i == 0 else f"df_{i}"
-        return f"log10({n} * 1.0 / {d})"
+        idf_cols.append(f"{det_log10_ratio_sql(n, d)} AS idf_{i}")
 
     def shift_at(i: int) -> str:
         return (
-            f"round(CASE WHEN {idf_at(i)} <> 0 "
-            f"THEN ({idf_at(i + 1)} - {idf_at(i)}) / {idf_at(i)} END, 9)"
+            f"round(CASE WHEN idf_{i} <> 0 "
+            f"THEN (idf_{i + 1} - idf_{i}) / idf_{i} END, 9)"
         )
 
     accel = " AND ".join(
@@ -358,11 +375,12 @@ def detect_events_sql() -> str:
         df_t AS (SELECT window_idx, term, count(*) AS df FROM base GROUP BY 1, 2),
         totals AS (SELECT window_idx, count(*) AS n_docs FROM base GROUP BY 1),
         j AS (SELECT d.*, t.n_docs FROM df_t d JOIN totals t USING (window_idx)),
-        seq AS (SELECT *, {", ".join(lags)} FROM j)
+        seq AS (SELECT *, {", ".join(lags)} FROM j),
+        idfs AS (SELECT *, {", ".join(idf_cols)} FROM seq)
         SELECT window_idx, term, df, n_docs,
-               round(log10(n_docs * 1.0 / df), 9) AS idf,
+               round(idf_0, 9) AS idf,
                {shift_at(0)} AS shift
-        FROM seq
+        FROM idfs
         WHERE ({present}) AND ({monotone}) AND ({accel})
         ORDER BY window_idx, term
     """

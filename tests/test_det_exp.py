@@ -45,6 +45,42 @@ def test_det_exp_accuracy_vs_libm():
         assert rel < 1e-13, (x, rel)
 
 
+RATIOS = [
+    (1, 1), (2, 1), (3, 2), (7, 5), (10, 1), (99, 98), (1024, 1),
+    (10**6, 1), (10**9 + 7, 12345), (2**52, 3), (5, 5), (617, 616),
+    (123456789, 3), (10**12, 999_999_999_999),
+]
+
+
+def test_det_log10_ratio_bit_identical_across_engines(spark):
+    """The trending idf/shift kernel: log10(n/d) for integer n >= d >= 1
+    must be the SAME double on Spark, DuckDB, and Python — the shift
+    predicates compare and divide by these values across engines."""
+    df = spark.createDataFrame(RATIOS, "n long, d long")
+    got_spark = [
+        r[0]
+        for r in df.select(
+            scoring.det_log10_ratio(F.col("n"), F.col("d")).alias("y")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {scoring.det_log10_ratio_sql(str(n), str(d))}"
+        ).fetchone()[0]
+        for n, d in RATIOS
+    ]
+    got_py = [scoring.det_log10_ratio_py(n, d) for n, d in RATIOS]
+    for (n, d), a, b, c in zip(RATIOS, got_spark, got_duck, got_py):
+        assert a == b == c, (n, d, a.hex(), b.hex(), c.hex())
+
+
+def test_det_log10_ratio_accuracy_vs_libm():
+    for n, d in RATIOS:
+        err = abs(scoring.det_log10_ratio_py(n, d) - math.log10(n / d))
+        assert err < 5e-12, (n, d, err)
+
+
 def test_page_score_three_way_identity(spark):
     cases = [(0, None), (1, 1_704_067_200_000), (37, 1_706_659_165_261), (99, 0)]
     now = 1_706_745_600_000
