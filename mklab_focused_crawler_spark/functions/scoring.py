@@ -156,6 +156,10 @@ def det_log10_ratio_sql(n_expr: str, d_expr: str) -> str:
 
 def det_log10_ratio_py(n: int, d: int) -> float:
     """Pure-Python det_log10_ratio (same bits) — for tests."""
+    # contract guard: for d > n, floor(m) = 0 gives j = 0 on Spark/DuckDB
+    # (length of '0' is 1) but bit_length() - 1 = -1 here — fail loudly
+    # instead of diverging three ways
+    assert n >= d >= 1, f"det_log10_ratio requires n >= d >= 1, got {n=} {d=}"
     m = float(n) / float(d)
     j = int(math.floor(m)).bit_length() - 1
     r = m / float(1 << j)

@@ -897,6 +897,13 @@ class CrawlLoop:
         (``fetch_fn``/``transport_factory``) and no page store exists."""
         from .frontier import redirect_closure
 
+        if self._host_delays_bc is not None:
+            # the {host: delay} hop map derives from THIS run's robots
+            # argument — a second run() on the same loop with different
+            # robots must not reuse stale delays (it is rebuilt lazily on
+            # the first transport iteration below)
+            self._host_delays_bc.destroy()
+            self._host_delays_bc = None
         if self.transport_redirects:
             # live mode: redirects are followed inside the fetch UDF —
             # no offline closure exists (there is nothing to build it

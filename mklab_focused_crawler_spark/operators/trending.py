@@ -159,14 +159,19 @@ def contributor_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # sum recovered integer cents, divide once: double summation
+            # sum recovered integer micros, divide once: double summation
             # order differs between Spark's partial/merge aggregation and
             # DuckDB's scan order, so round(sum(double),6) can flip at a
             # rounding boundary; integer sums are order-independent and
-            # the final /100 is one correctly-rounded IEEE division
+            # the final /1e6 is one correctly-rounded IEEE division.
+            # 10^6 scale (not 10^2): preserves the old round(sum,6)'s 6dp
+            # semantics for any sub-cent data while staying lossless on
+            # the 2dp generator values (identical exact rationals divide
+            # to identical doubles); per-row micros ≤ ~1e9 so int64 sums
+            # are safe to ~10^9 rows per group
             (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / 100.0
+                F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("double")
+                / 1000000.0
             ).alias("value_sum"),
         )
     )
@@ -177,7 +182,7 @@ def contributor_counts_sql() -> str:
     return f"""
         SELECT {ws} AS window_start_ms, user_id,
                count(*) AS n_events,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
                    AS value_sum
         FROM events GROUP BY 1, 2
         ORDER BY window_start_ms, user_id

@@ -132,7 +132,13 @@ def test_stateful_trend_candidates_match_batch(spark, tmp_path):
         (r["term"], r["window_idx"]): r["cnt"]
         for r in batch_trend_candidates(spark.read.parquet(str(in_dir))).collect()
     }
-    assert upserted == want
+    # at-least-once, never-retract contract: every batch candidate must be
+    # emitted with its final count (want ⊆ upserted, equal on shared keys);
+    # a prefix-only candidate that the full data later invalidates MAY
+    # additionally appear in the stream — that is legitimate under the
+    # contract, so strict equality would over-pin the file split
+    for key, cnt in want.items():
+        assert upserted.get(key) == cnt, key
     got = {(t, w, c) for (t, w), c in upserted.items()}
     # non-vacuous: the injected surge fired, the decelerating decoy didn't
     assert any(t[0] == "surge" for t in got)
