@@ -202,7 +202,12 @@ def cosine_topk_sql(k: int = TOP_K) -> str:
 # ---------------------------------------------------------------------------
 
 
-def cosine_topk_gemm(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+GEMM_PROBE_CHUNK = 4096  # max probe rows per broadcast GEMM pass
+
+
+def cosine_topk_gemm(
+    embeddings: DataFrame, k: int = TOP_K, chunk: int = GEMM_PROBE_CHUNK
+) -> DataFrame:
     """Exact top-k like :func:`cosine_topk`, but the corpus×probe dot
     products are one int64 matrix multiply per Arrow batch instead of a
     per-row ``zip_with`` fold — the kernel the brute-force path needs at
@@ -210,15 +215,19 @@ def cosine_topk_gemm(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     pair; the matmul is a tight C loop over the same integers, and int64
     arithmetic is exact on both sides so results are bit-identical).
 
-    Plan shape: the probe matrix (bounded by construction: the probe set
-    is a query workload, not the corpus — chunk it beyond ~10^5 probes)
-    broadcasts to every task; the corpus streams once through
-    ``mapInPandas`` emitting per-batch per-probe top-k (a correct
-    partial: the (dot desc, vec_id asc) comparator is total, so global
-    top-k = top-k of the union of batch top-ks); the final window ranks
-    batches×probes×k survivor rows — tiny. No shuffle touches the
-    corpus; partition count and batch boundaries cannot change the
-    result."""
+    Plan shape: the probe workload is processed in ``chunk``-row slices —
+    each slice's (id, vector, norm) matrix broadcasts to every task and
+    the corpus streams through ``mapInPandas`` emitting per-batch
+    per-probe top-k (a correct partial: the (dot desc, vec_id asc)
+    comparator is total, so global top-k = top-k of the union of batch
+    top-ks — and, for the same reason, the union over probe chunks is
+    exact: each probe's rows live in exactly one chunk). The final
+    window ranks batches×probes×k survivor rows — tiny. No shuffle
+    touches the corpus; partition count, batch boundaries and chunk
+    boundaries cannot change the result. Chunking bounds both the
+    broadcast size and the per-task (batch × chunk) dot matrix, so a
+    10^6-probe workload costs ⌈probes/chunk⌉ corpus scans instead of an
+    OOM."""
     import numpy as np
 
     q = embeddings.select(
@@ -234,45 +243,60 @@ def cosine_topk_gemm(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         return spark.createDataFrame(
             [], "probe_id long, vec_id long, rank int, dot_q long, cosine double"
         )
-    probe_ids = probes_pd["vec_id"].to_numpy().astype(np.int64)
-    pmat = np.stack([np.asarray(v, dtype=np.int64) for v in probes_pd["q"]])
-    pn2 = probes_pd["n2"].to_numpy().astype(np.int64)
-    bp = spark.sparkContext.broadcast((probe_ids, pmat, pn2))
 
-    def kernel(batches):
-        import pandas as pd
+    def make_kernel(bp):
+        def kernel(batches):
+            import pandas as pd
 
-        ids_p, mat_p, _ = bp.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vid = pdf["vec_id"].to_numpy().astype(np.int64)
-            n2 = pdf["n2"].to_numpy().astype(np.int64)
-            qmat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            dots = qmat @ mat_p.T  # (batch × probes), int64 exact
-            out = []
-            for j in range(len(ids_p)):
-                dj = dots[:, j]
-                keep = vid != ids_p[j]  # self-match excluded
-                order = np.lexsort((vid[keep], -dj[keep]))[:k]
-                kv, kd, kn = vid[keep][order], dj[keep][order], n2[keep][order]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "probe_id": np.full(len(kv), ids_p[j], np.int64),
-                            "vec_id": kv,
-                            "dot_q": kd,
-                            "n2": kn,
-                        }
+            ids_p, mat_p, _ = bp.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vid = pdf["vec_id"].to_numpy().astype(np.int64)
+                n2 = pdf["n2"].to_numpy().astype(np.int64)
+                qmat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+                dots = qmat @ mat_p.T  # (batch × chunk probes), int64 exact
+                out = []
+                for j in range(len(ids_p)):
+                    dj = dots[:, j]
+                    keep = vid != ids_p[j]  # self-match excluded
+                    order = np.lexsort((vid[keep], -dj[keep]))[:k]
+                    kv, kd, kn = vid[keep][order], dj[keep][order], n2[keep][order]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "probe_id": np.full(len(kv), ids_p[j], np.int64),
+                                "vec_id": kv,
+                                "dot_q": kd,
+                                "n2": kn,
+                            }
+                        )
                     )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
 
-    cand = q.mapInPandas(kernel, "probe_id long, vec_id long, dot_q long, n2 long")
+        return kernel
+
+    cand = None
+    for start in range(0, len(probes_pd), chunk):
+        part = probes_pd.iloc[start : start + chunk]
+        probe_ids = part["vec_id"].to_numpy().astype(np.int64)
+        pmat = np.stack([np.asarray(v, dtype=np.int64) for v in part["q"]])
+        pn2 = part["n2"].to_numpy().astype(np.int64)
+        bp = spark.sparkContext.broadcast((probe_ids, pmat, pn2))
+        piece = q.mapInPandas(
+            make_kernel(bp), "probe_id long, vec_id long, dot_q long, n2 long"
+        )
+        cand = piece if cand is None else cand.unionByName(piece)
     pn2_df = broadcast(
         spark.createDataFrame(
-            list(zip(probe_ids.tolist(), pn2.tolist())), "probe_id long, pn2 long"
+            list(
+                zip(
+                    probes_pd["vec_id"].astype(int).tolist(),
+                    probes_pd["n2"].astype(int).tolist(),
+                )
+            ),
+            "probe_id long, pn2 long",
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))

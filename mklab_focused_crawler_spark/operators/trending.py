@@ -277,7 +277,15 @@ def detect_events(events: DataFrame) -> DataFrame:
     )
     df_t = base.groupBy("window_idx", "term").agg(F.count(F.lit(1)).alias("df"))
     totals = base.groupBy("window_idx").agg(F.count(F.lit(1)).alias("n_docs"))
-    j = df_t.join(totals, "window_idx")
+    # idf is a deterministic function of THIS row's (n_docs, df): evaluate
+    # the det_log10_ratio Horner tree exactly ONCE per (window, term) row
+    # and lag the resulting column. Round 2 expanded the degree-11 tree at
+    # every lag depth (5 trees/row), which blew past the codegen threshold
+    # and fell back to interpreted evaluation — 3.7× slower (VERDICT r2).
+    # lag(idf) is bit-identical to recomputing idf from lagged (n, df).
+    j = df_t.join(totals, "window_idx").withColumn(
+        "_idf_0", det_log10_ratio(F.col("n_docs"), F.col("df"))
+    )
 
     w = Window.partitionBy("term").orderBy("window_idx")
     # r = N/df as an exact rational (n_docs, df); idf monotone in r.
@@ -287,6 +295,7 @@ def detect_events(events: DataFrame) -> DataFrame:
             cur.withColumn(f"df_{i}", F.lag("df", i).over(w))
             .withColumn(f"n_{i}", F.lag("n_docs", i).over(w))
             .withColumn(f"w_{i}", F.lag("window_idx", i).over(w))
+            .withColumn(f"_idf_{i}", F.lag("_idf_0", i).over(w))
         )
     # (a) present in the 4 immediately-preceding windows (consecutive)
     present = F.lit(True)
@@ -305,12 +314,8 @@ def detect_events(events: DataFrame) -> DataFrame:
     # with libm, a 1-ulp JVM-vs-DuckDB log10 skew landing on a rounding
     # boundary flips the predicate (CLAUDE.md: never compare raw
     # log/exp doubles across engines). det values are bit-identical, so
-    # every downstream +,-,/ and round is too.
-    for i in range(N_WINDOWS):
-        n = F.col("n_docs") if i == 0 else F.col(f"n_{i}")
-        d = F.col("df") if i == 0 else F.col(f"df_{i}")
-        cur = cur.withColumn(f"_idf_{i}", det_log10_ratio(n, d))
-
+    # every downstream +,-,/ and round is too. _idf_{1..4} are lags of
+    # _idf_0 (computed once per row above), not re-expanded trees.
     def idf_at(i: int) -> F.Column:
         return F.col(f"_idf_{i}")
 
@@ -343,7 +348,8 @@ def detect_events_sql() -> str:
         lags.append(
             f"lag(df, {i}) OVER (PARTITION BY term ORDER BY window_idx) AS df_{i},"
             f" lag(n_docs, {i}) OVER (PARTITION BY term ORDER BY window_idx) AS n_{i},"
-            f" lag(window_idx, {i}) OVER (PARTITION BY term ORDER BY window_idx) AS w_{i}"
+            f" lag(window_idx, {i}) OVER (PARTITION BY term ORDER BY window_idx) AS w_{i},"
+            f" lag(idf_0, {i}) OVER (PARTITION BY term ORDER BY window_idx) AS idf_{i}"
         )
     present = " AND ".join(
         f"w_{i} = window_idx - {i}" for i in range(1, N_WINDOWS)
@@ -352,16 +358,10 @@ def detect_events_sql() -> str:
         f"n_docs * df_{i} <= n_{i} * df" for i in range(1, N_WINDOWS)
     )
 
-    # det_log10_ratio columns (one per lag depth) in their own stage so
-    # the ~10KB deterministic-log expansion appears once per depth and
-    # the shift predicates reference short names — mirrors the Spark
-    # side's _idf_i withColumns exactly
-    idf_cols = []
-    for i in range(N_WINDOWS):
-        n = "n_docs" if i == 0 else f"n_{i}"
-        d = "df" if i == 0 else f"df_{i}"
-        idf_cols.append(f"{det_log10_ratio_sql(n, d)} AS idf_{i}")
-
+    # idf_0 is computed ONCE per (window, term) row in j (one ~10KB
+    # deterministic-log expansion total) and LAGGED to idf_{1..4} — same
+    # values, same bits, no per-depth tree re-expansion; mirrors the
+    # Spark side's lag("_idf_0", i) exactly
     def shift_at(i: int) -> str:
         return (
             f"round(CASE WHEN idf_{i} <> 0 "
@@ -379,13 +379,14 @@ def detect_events_sql() -> str:
         ),
         df_t AS (SELECT window_idx, term, count(*) AS df FROM base GROUP BY 1, 2),
         totals AS (SELECT window_idx, count(*) AS n_docs FROM base GROUP BY 1),
-        j AS (SELECT d.*, t.n_docs FROM df_t d JOIN totals t USING (window_idx)),
-        seq AS (SELECT *, {", ".join(lags)} FROM j),
-        idfs AS (SELECT *, {", ".join(idf_cols)} FROM seq)
+        j AS (SELECT d.*, t.n_docs,
+                     {det_log10_ratio_sql("t.n_docs", "d.df")} AS idf_0
+              FROM df_t d JOIN totals t USING (window_idx)),
+        seq AS (SELECT *, {", ".join(lags)} FROM j)
         SELECT window_idx, term, df, n_docs,
                round(idf_0, 9) AS idf,
                {shift_at(0)} AS shift
-        FROM idfs
+        FROM seq
         WHERE ({present}) AND ({monotone}) AND ({accel})
         ORDER BY window_idx, term
     """
