@@ -212,6 +212,16 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat over a k-means-TRAINED codebook: the offline training
+    job (deterministic sample → fixed-iteration integer Lloyd →
+    broadcast literals) replaces the ±1 stand-in. Training and query
+    run against the same sf_dir, exactly as a production index build
+    trains on (a sample of) the corpus it serves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, centroids=similarity.train_ivf_codebook_df(emb))
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
 
@@ -458,6 +468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": _q_ann_topk,
     "ann_topk_multi": _q_ann_topk_multi,
     "ivf_topk": _q_ivf_topk,
+    "ivf_topk_trained": _q_ivf_topk_trained,
     "embedding_near_dups": _q_embedding_near_dups,
     "text_analysis": _q_text_analysis,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
@@ -569,5 +580,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+# The driver compares Spark vs DuckDB at sf0.01 (TESTDATA.md); the
+# trained-IVF twin must embed the centroids trained on THAT data, so its
+# SQL is generated lazily from the sf0.01 parquet (pyarrow + numpy — the
+# exact training function the Spark query calls) and memoized. Every
+# other oracle is data-independent and stays a static literal.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_LAZY_ORACLES: dict[str, str] = {}
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    if "ivf_topk_trained" not in _LAZY_ORACLES:
+        cents = similarity.train_ivf_codebook_parquet(
+            f"{_ORACLE_SF_DIR}/embeddings.parquet"
+        )
+        _LAZY_ORACLES["ivf_topk_trained"] = similarity.ivf_topk_sql(centroids=cents)
+    out.update(_LAZY_ORACLES)
+    return out

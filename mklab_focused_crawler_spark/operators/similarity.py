@@ -556,29 +556,129 @@ IVF_CENTROIDS = [
     [v * SCALE for v in row] for row in _gen_planes("ivf-", K_LISTS)
 ]
 
+# k-means training: deterministic decimation of the corpus (FAISS trains
+# IVF on a bounded sample, not the corpus; at production scale the MOD
+# rises so the driver-side sample stays ~256·k vectors) and a FIXED
+# iteration count — no convergence test, so the job's work is bounded
+# and the output is a pure function of the sample.
+TRAIN_SAMPLE_MOD = 3
+TRAIN_ITERS = 8
 
-def _ivf_ranked_lists(q_col) -> F.Column:
-    """Array of list ids, best-first: sort (−dot, j) ascending — dot
-    descending with centroid id as the deterministic tie-break."""
+
+def train_ivf_codebook(
+    rows, k: int = K_LISTS, iters: int = TRAIN_ITERS
+) -> list[list[int]]:
+    """Deterministic integer Lloyd k-means over ``rows`` (iterable of
+    ``(vec_id, embedding floats)``) → ``k`` integer centroid literals
+    for :func:`ivf_topk`'s codebook.
+
+    This is the offline training job of a production IVF index
+    (sample → train → broadcast; the codebook is tiny — k×DIM ints —
+    so downstream it is a plan literal, not a join input). Determinism
+    is total, and *engine-free*: rows are sorted by vec_id (input order
+    cannot matter), quantization is Python-side round-half-even
+    (self-consistent — the engines never see these intermediates, only
+    the final literals), init is farthest-point from the min-vec_id
+    seed (argmax/argmin take the first extremum: deterministic
+    tie-breaks), Lloyd runs a fixed ``iters`` sweeps with int64
+    distances and rounded-integer-mean centroid updates, and empty
+    clusters keep their previous centroid. Both the Spark query and
+    the DuckDB oracle twin call THIS function on the same parquet rows,
+    so the centroid literals agree by construction.
+
+    All distance algebra is int64 (|x−c|² ≤ 64·(2·DIM·SCALE)² ≪ 2^63):
+    bit-identical on any platform, no libm anywhere."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    X = np.rint(
+        np.asarray([list(r[1]) for r in rows], dtype=np.float64) * SCALE
+    ).astype(np.int64)
+    if len(X) < k:
+        raise ValueError(f"need >= {k} training vectors, got {len(X)}")
+    chosen = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(iters):
+        cn2 = (C * C).sum(axis=1)
+        assign = np.argmin(cn2[None, :] - 2 * (X @ C.T), axis=1)
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                # rounded integer mean: (2·s + n) // (2·n) — half-up,
+                # pure int64, no float mean in the training loop
+                C[j] = (2 * m.sum(axis=0) + len(m)) // (2 * len(m))
+    return [[int(v) for v in row] for row in C]
+
+
+def train_ivf_codebook_df(embeddings: DataFrame) -> list[list[int]]:
+    """Train from a Spark embeddings table: deterministic decimation
+    (vec_id % TRAIN_SAMPLE_MOD) collected to the driver — the bounded
+    sample is the job's entire driver footprint (~256·k vectors at
+    production MOD), the corpus itself never leaves the executors."""
+    rows = (
+        embeddings.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return train_ivf_codebook((r["vec_id"], r["embedding"]) for r in rows)
+
+
+def train_ivf_codebook_parquet(path: str) -> list[list[int]]:
+    """Train from a parquet file without Spark — the oracle twin's path:
+    the DuckDB SQL embeds centroid literals, and those literals must be
+    the same function of the same rows the Spark query trained on.
+    float32 → Python float is exact in both readers, so the two training
+    inputs are bit-identical."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    return train_ivf_codebook(
+        (v, e)
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if v % TRAIN_SAMPLE_MOD == 0
+    )
+
+
+def _ivf_ranked_lists(q_col, centroids: list[list[int]] | None = None) -> F.Column:
+    """Array of list ids, best-first under squared L2 distance:
+    |x−c|² = |x|² − 2⟨x,c⟩ + |c|², and |x|² is constant per row, so the
+    sort key is nd = |c_j|² − 2⟨x,c_j⟩ ascending with centroid id as the
+    deterministic tie-break. For the equal-norm ±1 default codebook this
+    is exactly the old dot-descending order (|c|² constant), so the
+    default-path output is unchanged; for a trained codebook (unequal
+    norms) L2 is the correct nearest-centroid rule. Pure int64 either
+    way — exact on both engines."""
+    cents = IVF_CENTROIDS if centroids is None else centroids
     scores = F.array(
         *[
             F.struct(
-                (-qdot(q_col, F.lit(c))).alias("nd"),
+                (
+                    F.lit(sum(v * v for v in c)).cast("long")
+                    - 2 * qdot(q_col, F.lit(c))
+                ).alias("nd"),
                 F.lit(j).cast("int").alias("j"),
             )
-            for j, c in enumerate(IVF_CENTROIDS)
+            for j, c in enumerate(cents)
         ]
     )
     return F.transform(F.array_sort(scores), lambda s: s["j"])
 
 
 def ivf_topk(
-    embeddings: DataFrame, k: int = TOP_K, n_probe: int = N_PROBE
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_probe: int = N_PROBE,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     q = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", qnorm2(F.col("q")))
-    ranked = _ivf_ranked_lists(F.col("q"))
+    ranked = _ivf_ranked_lists(F.col("q"), centroids)
     assigned = q.select(
         "vec_id", "q", "n2", F.get(ranked, 0).alias("list_id")
     )
@@ -619,12 +719,21 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(k: int = TOP_K, n_probe: int = N_PROBE) -> str:
+def ivf_topk_sql(
+    k: int = TOP_K,
+    n_probe: int = N_PROBE,
+    centroids: list[list[int]] | None = None,
+) -> str:
+    cents = IVF_CENTROIDS if centroids is None else centroids
     q = quantized_sql("embedding")
+    # nd = |c_j|² − 2⟨x,c_j⟩: the L2 nearest-centroid key (see
+    # _ivf_ranked_lists) — identical ordering to d DESC for the
+    # equal-norm default codebook, correct for trained codebooks
     per_list = "\n            UNION ALL ".join(
         f"SELECT vec_id, {j} AS j, "
-        f"{qdot_sql('q', '[' + ', '.join(str(v) for v in c) + ']')} AS d FROM qt"
-        for j, c in enumerate(IVF_CENTROIDS)
+        f"CAST({sum(v * v for v in c)} AS BIGINT) - 2 * "
+        f"{qdot_sql('q', '[' + ', '.join(str(v) for v in c) + ']')} AS nd FROM qt"
+        for j, c in enumerate(cents)
     )
     return f"""
         WITH qt AS (
@@ -636,7 +745,7 @@ def ivf_topk_sql(k: int = TOP_K, n_probe: int = N_PROBE) -> str:
         ranked AS (
             SELECT vec_id, j,
                    row_number() OVER (PARTITION BY vec_id
-                        ORDER BY d DESC, j ASC) AS rn
+                        ORDER BY nd ASC, j ASC) AS rn
             FROM scores
         ),
         assign AS (SELECT vec_id, j AS list_id FROM ranked WHERE rn = 1),
