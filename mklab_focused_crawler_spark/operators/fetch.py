@@ -210,6 +210,89 @@ def fetch_with_transport(
     return df.mapInPandas(run, schema)
 
 
+class HttpTransport:
+    """Production HTTP transport (urllib, stdlib-only): the knobs of
+    WebPageFetcherBolt.java:82-94 — connect/read timeout (30 s default),
+    User-Agent, and the MIME gate (non-HTML content types return headers
+    only; the body is never downloaded, the reference's
+    ``shouldFetch(contentType)`` behavior).
+
+    Contract notes:
+
+    - **Redirects are NOT followed here.** 3xx answers return the
+      5-tuple ``(status, mime, None, None, location)`` so
+      :func:`fetch_with_transport` owns the chain — every hop must pass
+      through the politeness clocks, which only the UDF sees.
+      HTTP 4xx/5xx are *results*, not errors (urllib raises HTTPError
+      for them, but an HTTPError IS the response); only transport-level
+      failures (DNS, refused, timeout) propagate as exceptions, which
+      the UDF turns into status=-1 rows.
+    - **out_links** are extracted from the fetched HTML with an href
+      scan, absolutized against the final URL (RFC 3986 join) — the
+      fetch-time link discovery a crawler needs before the heavyweight
+      extraction stage runs downstream.
+    - **proxy**: optional forward-proxy URL. Production crawl fleets
+      front their egress with fetch proxies; the loopback test serves
+      the synthetic web through one (the absolute-form request line
+      carries the logical URL, so fake hosts resolve without DNS).
+    - Picklable by attribute (primitives only); the opener is built
+      once per partition in ``__call__``.
+    """
+
+    ALLOWED_MIME = ("text/html", "application/xhtml+xml")
+
+    def __init__(
+        self,
+        timeout_s: float = 30.0,
+        user_agent: str = "mklab-focused-crawler-spark/0.1",
+        max_bytes: int = 1 << 22,
+        proxy: str | None = None,
+    ):
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+        self.max_bytes = max_bytes
+        self.proxy = proxy
+
+    def __call__(self):
+        import re
+        import urllib.error
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None  # surface the 3xx; the UDF follows it
+
+        handlers: list = [_NoRedirect()]
+        if self.proxy:
+            handlers.append(
+                urllib.request.ProxyHandler({"http": self.proxy, "https": self.proxy})
+            )
+        opener = urllib.request.build_opener(*handlers)
+        href_re = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"'#]+)["']""", re.I)
+        timeout, ua, cap = self.timeout_s, self.user_agent, self.max_bytes
+
+        def fetch(url: str):
+            req = urllib.request.Request(url, headers={"User-Agent": ua})
+            try:
+                resp = opener.open(req, timeout=timeout)
+            except urllib.error.HTTPError as e:
+                resp = e  # 3xx/4xx/5xx: a response, not a failure
+            with resp:
+                status = resp.getcode()
+                mime = resp.headers.get_content_type()  # params stripped
+                if 300 <= status < 400:
+                    return status, mime, None, None, resp.headers.get("Location")
+                if mime not in HttpTransport.ALLOWED_MIME:
+                    return status, mime, None, None  # MIME gate: no body
+                body = resp.read(cap)
+            charset = resp.headers.get_content_charset() or "utf-8"
+            html = body.decode(charset, errors="replace")
+            links = [urljoin(url, m) for m in href_re.findall(html)]
+            return status, mime, html, links
+
+        return fetch
+
+
 class SyntheticTransport:
     """Offline transport over a broadcast {url: page-row} dict — the
     hermetic stand-in for HTTP. Picklable; ``bc`` is a Spark broadcast

@@ -1,0 +1,189 @@
+"""Iceberg-catalog implementation of :class:`VersionedTable`.
+
+ENVIRONMENT-GATED: this sandbox's pyspark distribution ships no Iceberg
+runtime jar (verified — ``pyspark/jars`` has none), so the adapter
+raises :class:`IcebergUnavailable` at construction unless the session
+actually has the Iceberg SQL extensions loaded. The method bodies are
+the real mapping (Spark SQL `MERGE INTO`, `writeTo().append()`,
+`VERSION AS OF`, snapshot-procedure calls), kept as executable code —
+not pseudocode — so a deployment with
+``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and a
+catalog config drops this class in where :class:`SnapshotTable` is used
+today (the engine only touches the :class:`VersionedTable` surface).
+
+Semantics notes vs the parquet stand-in:
+- Iceberg snapshot ids are opaque longs, not a 1..N sequence; callers
+  already treat snapshot ids as tokens (store, compare equality, pass
+  back) rather than doing arithmetic on them.
+- ``read_appended`` maps to the incremental read between a snapshot and
+  its parent (``start-snapshot-id``/``end-snapshot-id``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .interface import VersionedTable
+
+
+class IcebergUnavailable(RuntimeError):
+    """Raised when no Iceberg runtime/catalog is present in the session."""
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        ext = ""
+    if "IcebergSparkSessionExtensions" not in ext:
+        return False
+    try:  # the class must actually be on the JVM classpath
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTable(VersionedTable):
+    def __init__(
+        self,
+        spark: SparkSession,
+        identifier: str,
+        partition_by: tuple[str, ...] = (),
+    ):
+        """``identifier``: catalog-qualified table name
+        (``catalog.db.table``)."""
+        if not _has_iceberg(spark):
+            raise IcebergUnavailable(
+                "no Iceberg runtime in this Spark session; add "
+                "iceberg-spark-runtime to the classpath and configure a "
+                "catalog (spark.sql.catalog.<name>=org.apache.iceberg."
+                "spark.SparkCatalog), or use storage.snapshot.SnapshotTable"
+            )
+        self.spark = spark
+        self.identifier = identifier
+        self.partition_by = tuple(partition_by)
+
+    # -- helpers ----------------------------------------------------------
+    def _snapshots(self) -> DataFrame:
+        return self.spark.sql(
+            f"SELECT snapshot_id, parent_id, committed_at "
+            f"FROM {self.identifier}.snapshots ORDER BY committed_at"
+        )
+
+    def current_snapshot(self) -> int | None:
+        if not self.exists():
+            return None
+        rows = (
+            self._snapshots()
+            .orderBy("committed_at", ascending=False)
+            .limit(1)
+            .collect()
+        )
+        return int(rows[0]["snapshot_id"]) if rows else None
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.identifier)
+
+    def _create_if_absent(self, df: DataFrame) -> None:
+        if not self.exists():
+            w = df.writeTo(self.identifier)
+            if self.partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in self.partition_by])
+            w.create()
+
+    # -- ops ---------------------------------------------------------------
+    def overwrite(self, df: DataFrame) -> int:
+        if self.exists():
+            df.writeTo(self.identifier).replace()
+        else:
+            self._create_if_absent(df)
+        return self.current_snapshot() or 0
+
+    def append(self, df: DataFrame) -> int:
+        if not self.exists():
+            self._create_if_absent(df)
+        else:
+            df.writeTo(self.identifier).append()
+        return self.current_snapshot() or 0
+
+    def append_arrow(self, table) -> int:
+        # Iceberg commits go through the catalog; a driver-local Arrow
+        # batch still needs one (tiny) Spark write — the stand-in's
+        # direct-file shortcut is a parquet-layout detail.
+        return self.append(self.spark.createDataFrame(table.to_pandas()))
+
+    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        if snapshot is None:
+            return spark.read.table(self.identifier)
+        return spark.read.option("snapshot-id", snapshot).table(self.identifier)
+
+    def read_appended(self, spark: SparkSession, snapshot: int) -> DataFrame:
+        [row] = (
+            self._snapshots()
+            .where(f"snapshot_id = {int(snapshot)}")
+            .select("parent_id")
+            .collect()
+        )
+        reader = spark.read.format("iceberg").option("end-snapshot-id", snapshot)
+        if row["parent_id"] is not None:
+            reader = reader.option("start-snapshot-id", int(row["parent_id"]))
+        return reader.load(self.identifier)
+
+    def replace_partitions(
+        self, spark: SparkSession, df: DataFrame, partition_values: dict
+    ) -> int:
+        # dynamic overwrite: exactly the partitions present in df
+        df.writeTo(self.identifier).overwritePartitions()
+        return self.current_snapshot() or 0
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str | list[str],
+        update_cols: list[str] | None = None,
+    ) -> int:
+        if not self.exists():
+            return self.overwrite(updates)
+        keys = [key] if isinstance(key, str) else list(key)
+        upd = update_cols if update_cols is not None else [
+            c for c in updates.columns if c not in keys
+        ]
+        updates.createOrReplaceTempView("_vt_updates")
+        on = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        sets = ", ".join(f"t.{c} = u.{c}" for c in upd)
+        spark.sql(
+            f"MERGE INTO {self.identifier} t USING _vt_updates u ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.current_snapshot() or 0
+
+    def merge_if_absent(
+        self, spark: SparkSession, rows: DataFrame, key: str | list[str]
+    ) -> int:
+        if not self.exists():
+            return self.overwrite(rows)
+        keys = [key] if isinstance(key, str) else list(key)
+        rows.createOrReplaceTempView("_vt_inserts")
+        on = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {self.identifier} t USING _vt_inserts u ON {on} "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.current_snapshot() or 0
+
+    def rollback_to(self, snapshot: int) -> None:
+        catalog = self.identifier.split(".")[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rollback_to_snapshot"
+            f"('{self.identifier}', {int(snapshot)})"
+        )
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.identifier}")

@@ -1,0 +1,102 @@
+"""The storage seam: one abstract surface for snapshot-versioned tables.
+
+Everything in the engine that persists state (crawl loop, updater
+operators, streaming sinks) programs against :class:`VersionedTable` —
+eleven operations, each with a 1:1 Iceberg equivalent. Two
+implementations exist:
+
+- :class:`~.snapshot.SnapshotTable` — the parquet + manifest stand-in
+  (no dependencies beyond Spark; what this sandbox runs).
+- :class:`~.iceberg.IcebergTable` — the real-catalog adapter
+  (environment-gated: this sandbox's pyspark 4.1.2 ships no Iceberg
+  runtime jar — verified in VERDICT r2 — so the adapter raises a clear
+  gate error at construction; its method bodies carry the actual
+  Iceberg SQL/API mapping so wiring a catalog is a config change, not
+  a rewrite).
+
+The operation set is the closed union of what the engine actually
+calls (grep-audited): exists/overwrite/append/append_arrow/read/
+read_appended/replace_partitions/merge/merge_if_absent/rollback_to/
+drop + current_snapshot. tests/test_storage_seam.py pins that audit —
+adding a call site with a new method must extend the interface first.
+"""
+
+from __future__ import annotations
+
+import abc
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable(abc.ABC):
+    """Snapshot-versioned table with atomic commits and time travel.
+
+    Iceberg mapping (per method):
+
+    ==================== ==============================================
+    operation            Iceberg equivalent
+    ==================== ==============================================
+    current_snapshot     table.currentSnapshot().snapshotId()
+    exists               catalog.tableExists(ident)
+    overwrite            INSERT OVERWRITE (full) / CREATE OR REPLACE
+    append               append snapshot (df.writeTo(t).append())
+    append_arrow         same append; small driver-local batch
+    read                 SELECT ... [VERSION AS OF <snapshot>]
+    read_appended        incremental scan (start-snapshot-id = parent)
+    replace_partitions   dynamic partition overwrite
+                         (writeTo(t).overwritePartitions())
+    merge                MERGE INTO t USING u ON key
+                         WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT
+    merge_if_absent      MERGE INTO ... WHEN NOT MATCHED INSERT (only)
+    rollback_to          CALL catalog.system.rollback_to_snapshot(...)
+    drop                 DROP TABLE
+    ==================== ==============================================
+    """
+
+    @abc.abstractmethod
+    def current_snapshot(self) -> int | None: ...
+
+    @abc.abstractmethod
+    def exists(self) -> bool: ...
+
+    @abc.abstractmethod
+    def overwrite(self, df: DataFrame) -> int: ...
+
+    @abc.abstractmethod
+    def append(self, df: DataFrame) -> int: ...
+
+    @abc.abstractmethod
+    def append_arrow(self, table) -> int:
+        """Append a small driver-local Arrow table without a Spark job."""
+
+    @abc.abstractmethod
+    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame: ...
+
+    @abc.abstractmethod
+    def read_appended(self, spark: SparkSession, snapshot: int) -> DataFrame:
+        """Only the rows ADDED by ``snapshot`` relative to its parent."""
+
+    @abc.abstractmethod
+    def replace_partitions(
+        self, spark: SparkSession, df: DataFrame, partition_values: dict
+    ) -> int: ...
+
+    @abc.abstractmethod
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str | list[str],
+        update_cols: list[str] | None = None,
+    ) -> int: ...
+
+    @abc.abstractmethod
+    def merge_if_absent(
+        self, spark: SparkSession, rows: DataFrame, key: str | list[str]
+    ) -> int: ...
+
+    @abc.abstractmethod
+    def rollback_to(self, snapshot: int) -> None: ...
+
+    @abc.abstractmethod
+    def drop(self) -> None: ...

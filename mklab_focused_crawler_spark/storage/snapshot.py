@@ -30,8 +30,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .interface import VersionedTable
 
-class SnapshotTable:
+
+class SnapshotTable(VersionedTable):
     def __init__(self, root: str, name: str, partition_by: tuple[str, ...] = ()):
         """partition_by: hive-style partition columns (e.g. ("bucket",))
         — filters on them prune whole directories at scan time, the
