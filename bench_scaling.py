@@ -156,6 +156,30 @@ def main() -> None:
     print(json.dumps(summary))
 
 
+CLEAN_FACTOR = 1.25  # a window is "clean" if within 25% of the level's best
+
+
+def _estimators(all_seconds: list) -> dict:
+    """best + median-of-all + median-of-clean windows. "Clean" = within
+    CLEAN_FACTOR of the per-level floor: contended windows on this box
+    measure 1.5-4x the floor (memory-bandwidth neighbors, invisible to
+    steal%), so the clusters are separated and the cutoff is not doing
+    the work. Median-of-all mixes contended windows in — reported for
+    full disclosure, it estimates the sandbox's weather as much as the
+    code."""
+    import statistics
+
+    best = min(all_seconds)
+    clean = [s for s in all_seconds if s <= CLEAN_FACTOR * best]
+    return {
+        "best": best,
+        "median_all": round(statistics.median(all_seconds), 2),
+        "median_clean": round(statistics.median(clean), 2),
+        "n_clean": len(clean),
+        "n_windows": len(all_seconds),
+    }
+
+
 def _write_baseline(results: dict) -> None:
     lo, hi = LEVELS
     for cores in LEVELS:
@@ -163,8 +187,20 @@ def _write_baseline(results: dict) -> None:
             results[cores]["urls"] / results[cores]["seconds"], 1
         )
     eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / (hi / lo)
+    est = {c: _estimators(results[c]["all_seconds"]) for c in LEVELS}
+    eff_cmed = (est[lo]["median_clean"] / est[hi]["median_clean"]) / (hi / lo)
+    eff_med = (est[lo]["median_all"] / est[hi]["median_all"]) / (hi / lo)
     os.makedirs("BENCH", exist_ok=True)
     import platform
+
+    def row(c):
+        e, r = est[c], results[c]
+        ups = lambda s: round(r["urls"] / s, 1)  # noqa: E731
+        return (
+            f"| local[{c}] | {r['urls']:,} | {e['best']} | {ups(e['best'])} "
+            f"| {e['median_clean']} | {ups(e['median_clean'])} "
+            f"| {e['median_all']} | {e['n_clean']}/{e['n_windows']} |"
+        )
 
     nproc = os.cpu_count()
     with open("BENCH/BASELINE.md", "w") as f:
@@ -175,13 +211,17 @@ Protocol (BASELINE.md §4): identical deterministic synthetic web
 politeness budget (≤10/host/iteration, per-host crawl delays from the
 robots table), one warm-up iteration, two timed iterations. Metric =
 (fetched + newly scheduled URLs) / wall-clock seconds of the timed
-window, best timed window per level across in-process repeats AND
-interleaved rounds (full history in `all_seconds` below — the workload
-is deterministic, URL counts asserted identical across repeats).
-Best-of-N is load-bearing on this co-tenant sandbox: hypervisor
-neighbors contend for memory bandwidth invisibly to steal%, and the
-identical binary has measured 79s..345s at local[8] across windows.
-Each level runs in a fresh JVM subprocess.
+window; per level the table reports THREE estimators over the window
+history (`all_seconds` below — the workload is deterministic, URL
+counts asserted identical across windows): the best window, the median
+of *clean* windows (within {CLEAN_FACTOR}x of the level's floor), and —
+full disclosure — the median of all windows including contended ones.
+Best-of-N and the clean cutoff are load-bearing on this co-tenant
+sandbox: hypervisor neighbors contend for memory bandwidth invisibly to
+steal%, the identical binary has measured 79s..345s at local[8] across
+windows, and the 4x-bandwidth-hungrier high level is poisoned far more
+often than the low one (so all-window medians skew the RATIO, not just
+the levels). Each level runs in a fresh JVM subprocess.
 
 Machine: {platform.platform()}, {nproc} CPUs. Spark local mode; each
 level CPU-pinned to exactly its core count (sched_setaffinity — task
@@ -189,13 +229,16 @@ slots, GC, shuffle and Python-UDF workers all share the N cores, as on
 a real N-core cluster node). `spark.sql.shuffle.partitions` = core
 count; AQE off inside crawl super-steps (see PLANS.md #7).
 
-| level | URLs (timed) | seconds | URLs/sec |
-|---|---|---|---|
-| local[{lo}] | {results[lo]["urls"]:,} | {results[lo]["seconds"]} | {results[lo]["urls_per_sec"]} |
-| local[{hi}] | {results[hi]["urls"]:,} | {results[hi]["seconds"]} | {results[hi]["urls_per_sec"]} |
+| level | URLs (timed) | best s | URLs/s | clean-median s | URLs/s | all-median s | clean/total windows |
+|---|---|---|---|---|---|---|---|
+{row(lo)}
+{row(hi)}
 
-**Scaling efficiency** = (throughput_{hi} / throughput_{lo}) / ({hi}/{lo})
-= **{eff:.3f}** (north_rule target ≥ 0.8).
+**Scaling efficiency** (throughput_{hi} / throughput_{lo}) / ({hi}/{lo}):
+best-window **{eff:.3f}**, clean-median **{eff_cmed:.3f}** (north_rule
+target ≥ 0.8); all-window median {eff_med:.3f} (includes contended
+windows on both sides — the sandbox's weather, reported for
+uncertainty, not a code property).
 
 Commands:
 
