@@ -199,36 +199,58 @@ def minhash_signature_sql(hashes_expr: str) -> str:
     return "[" + ", ".join(lanes) + "]"
 
 
-def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """(doc_id, shingles, sig) via explode → hash once → 16 min-aggs.
+def minhash_signatures(corpus: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [carry...,] shingles, sig) via explode → hash once →
+    K min-aggs.
 
     The naive column form (minhash_signature over a shingle-hash
     column) lets Catalyst's projection collapse inline the md5 chain
-    into every signature lane — 16× the hash work. Exploding first
-    materializes each shingle hash exactly once, then the 16 permuted
+    into every signature lane — K× the hash work. Exploding first
+    materializes each shingle hash exactly once, then the K permuted
     minima are one partial-aggregated groupBy (map-side combined, one
     shuffle on doc_id) — measured 5-10× faster and the right plan at
-    100 TB."""
+    100 TB.
+
+    ``carry`` names doc-constant columns of ``corpus`` to pass through
+    the aggregation (as ``first()``) — lets callers avoid a post-agg
+    join whose build side would re-evaluate its producing subtree
+    (column-pruned copies don't hit ReusedExchange).
+
+    Docs with < SHINGLE_N tokens have no shingles and get the P
+    sentinel in every lane. They're found by a narrow filter on the
+    corpus — NOT a left-anti join against the aggregate, which would
+    re-run the whole explode→hash→agg subtree a second time (the
+    pruned-schema copy is not exchange-reusable)."""
+    base = ["doc_id", *carry]
     hh = corpus.select(
-        "doc_id",
+        *base,
         F.explode(
             F.array_distinct(ngrams(tokenize(F.col("text")), SHINGLE_N))
         ).alias("shingle"),
-    ).select("doc_id", hash64(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min((COEF_A[i] * F.pmod(F.col("h"), F.lit(MINHASH_P)) + COEF_B[i]) % MINHASH_P).alias(
-            f"s{i}"
-        )
-        for i in range(K_HASHES)
-    ] + [F.array_sort(F.collect_set("h")).alias("shingles")]
+    ).select(*base, hash64(F.col("shingle")).alias("h")).withColumn(
+        # hoist h mod P: evaluated once per shingle row instead of once
+        # per lane (K× the pmods otherwise — Catalyst doesn't CSE
+        # across aggregate expressions)
+        "hp",
+        F.pmod(F.col("h"), F.lit(MINHASH_P)),
+    )
+    aggs = (
+        [
+            F.min((COEF_A[i] * F.col("hp") + COEF_B[i]) % MINHASH_P).alias(f"s{i}")
+            for i in range(K_HASHES)
+        ]
+        + [F.array_sort(F.collect_set("h")).alias("shingles")]
+        + [F.first(c).alias(c) for c in carry]
+    )
     sigs = hh.groupBy("doc_id").agg(*aggs)
     sig_arr = F.array(*[F.col(f"s{i}") for i in range(K_HASHES)])
-    out = sigs.select("doc_id", "shingles", sig_arr.alias("sig"))
-    # docs with < SHINGLE_N tokens have no shingles: sentinel signature
-    empties = corpus.select("doc_id").join(
-        out.select("doc_id"), "doc_id", "left_anti"
+    out = sigs.select("doc_id", *carry, "shingles", sig_arr.alias("sig"))
+    # size() is -1 on NULL arrays (null text) — <= 0 catches both
+    empties = corpus.filter(
+        F.size(F.array_distinct(ngrams(tokenize(F.col("text")), SHINGLE_N))) <= 0
     ).select(
         "doc_id",
+        *carry,
         F.array().cast("array<bigint>").alias("shingles"),
         F.array(*[F.lit(MINHASH_P).cast("long")] * K_HASHES).alias("sig"),
     )
@@ -245,10 +267,12 @@ def lsh_pairs(corpus: DataFrame) -> DataFrame:
     shingle arrays rejoin afterwards from the persisted signature table
     (one hash pass over the corpus, total).
 
-    The signature cache lives until the session drops it: a lazy query
-    surface has no post-action hook to release it. Eager callers should
-    use :func:`lsh_pairs_with_sigs` and unpersist the handle once the
-    pair set is materialized (duplicate_clusters does)."""
+    The signature table is persisted AND materialized up front (see
+    lsh_pairs_with_sigs) — building this frame runs one Spark job. The
+    cache then lives until the session drops it: a lazy pair surface has
+    no post-action hook to release it. Eager callers should use
+    :func:`lsh_pairs_with_sigs` and unpersist the handle once the pair
+    set is materialized (duplicate_clusters does)."""
     pairs, _sigs, _hot = lsh_pairs_with_sigs(corpus)
     return pairs
 
@@ -258,8 +282,10 @@ def lsh_pairs_with_sigs(
 ):
     """(pairs, sigs, hot): the pair pipeline; the ONE persisted table it
     reads everywhere — (doc_id=canonical, shingles, sig, members) where
-    ``members`` is the sorted exact-duplicate group — caller owns
-    sigs.unpersist() after materializing pairs; and the tiny
+    ``members`` is the sorted exact-duplicate group — materialized
+    eagerly here (one job) so concurrent downstream stages never race to
+    populate the cache; caller owns sigs.unpersist() after
+    materializing pairs; and the tiny
     (band_idx, band_key, bn) frame of buckets the hot-bucket cap dropped
     (empty on every fixture — eager callers must count it and log; an
     Observation can't carry this because the banded subtree appears
@@ -302,12 +328,21 @@ def lsh_pairs_with_sigs(
         F.min("doc_id").alias("doc_id"),
         F.sort_array(F.collect_list("doc_id")).alias("members"),
     )
-    canon_corpus = corpus.join(groups.select("doc_id"), "doc_id")
-    sigs = (
-        minhash_signatures(canon_corpus)
-        .join(groups.select("doc_id", "members"), "doc_id")
-        .persist()
-    )
+    # members ride the signature aggregation (doc-constant, carried as
+    # first()) so `groups` — a full-corpus md5 groupBy — is evaluated
+    # once: a separate post-agg members join would put a second,
+    # column-pruned (thus non-exchange-reusable) copy of that subtree
+    # in the plan.
+    canon_corpus = corpus.join(groups.select("doc_id", "members"), "doc_id")
+    sigs = minhash_signatures(canon_corpus, carry=("members",)).persist()
+    # Materialize the cache NOW: the banded self-join, the hot-bucket
+    # broadcast and the verify/expansion rejoins reference this subtree
+    # from ~6 places, and several of those stages launch concurrently
+    # inside the downstream action — each racing stage that finds the
+    # cache cold recomputes the md5+K-permutation subtree from scratch
+    # (measured 47s → 12s at sf0.1 by eagerizing). One count() job up
+    # front populates the cache once; every later stage is a cache read.
+    sigs.count()
 
     # 2. banding over non-empty canonicals, hot buckets dropped + counted.
     # Band key = xxhash64 of the band's 4 signature lanes: an 8-byte
@@ -625,9 +660,12 @@ def simhash_table(corpus: DataFrame) -> DataFrame:
         .cast("long")
         .alias("sh"),
     )
-    empties = corpus.select("doc_id").join(
-        sh.select("doc_id"), "doc_id", "left_anti"
-    ).select("doc_id", F.lit(0).cast("long").alias("sh"))
+    # token-less docs via a narrow corpus filter — a left-anti join
+    # against `sh` would re-run the explode→hash→vote subtree (the
+    # pruned copy isn't exchange-reusable); size() is -1 on NULL
+    empties = corpus.filter(F.size(tokenize(F.col("text"))) <= 0).select(
+        "doc_id", F.lit(0).cast("long").alias("sh")
+    )
     return sh.unionByName(empties)
 
 
