@@ -277,6 +277,22 @@ def lsh_pairs(corpus: DataFrame) -> DataFrame:
     return pairs
 
 
+def lsh_canonical_pairs(
+    corpus: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+):
+    """(cpairs, sigs, hot): the CANONICAL-level pair pipeline — pairs of
+    exact-dup canonicals with verified Jaccard, BEFORE expansion back to
+    document pairs. Consumers that don't need per-document pairs
+    (clustering: components are identical either way) should stop here —
+    the expansion stage regenerates g² intra-group rows for a g-member
+    exact-dup group, which is the pair-query output contract but pure
+    waste for anything that re-collapses pairs into groups.
+
+    Shares everything else with :func:`lsh_pairs_with_sigs`; the
+    docstring there describes the pipeline."""
+    return _lsh_pipeline(corpus, bucket_cap)
+
+
 def lsh_pairs_with_sigs(
     corpus: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
 ):
@@ -316,6 +332,39 @@ def lsh_pairs_with_sigs(
        signatures — every short doc shares ALL 32 band keys) can never
        verify above 0.0, so they skip banding entirely instead of
        forming the one guaranteed-hot bucket."""
+    cpairs, sigs, hot = _lsh_pipeline(corpus, bucket_cap)
+
+    # 3. expand canonical pairs back to document pairs (members arrays
+    # ride the cached sigs table — no corpus re-scan)
+    cross = (
+        cpairs.join(
+            sigs.select(F.col("doc_id").alias("ca"), F.col("members").alias("mem_a")),
+            "ca",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("cb"), F.col("members").alias("mem_b")),
+            "cb",
+        )
+        .select(F.explode("mem_a").alias("ma"), "mem_b", "jaccard")
+        .select("ma", F.explode("mem_b").alias("mb"), "jaccard")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        sigs.filter((F.size("shingles") > 0) & (F.size("members") > 1))
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    pairs = cross.unionByName(intra)
+    return pairs, sigs, hot
+
+
+def _lsh_pipeline(corpus: DataFrame, bucket_cap: int):
     # 1. exact pre-collapse (one hash-groupBy pass over the corpus).
     # The doc→canonical mapping is folded INTO the persisted signature
     # table as a members array: the expansion stage needs it several
@@ -399,35 +448,7 @@ def lsh_pairs_with_sigs(
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select(F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb"), "jaccard")
     )
-
-    # 3. expand canonical pairs back to document pairs (members arrays
-    # ride the cached sigs table — no corpus re-scan)
-    cross = (
-        cpairs.join(
-            sigs.select(F.col("doc_id").alias("ca"), F.col("members").alias("mem_a")),
-            "ca",
-        )
-        .join(
-            sigs.select(F.col("doc_id").alias("cb"), F.col("members").alias("mem_b")),
-            "cb",
-        )
-        .select(F.explode("mem_a").alias("ma"), "mem_b", "jaccard")
-        .select("ma", F.explode("mem_b").alias("mb"), "jaccard")
-        .select(
-            F.least("ma", "mb").alias("doc_a"),
-            F.greatest("ma", "mb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    intra = (
-        sigs.filter((F.size("shingles") > 0) & (F.size("members") > 1))
-        .select(F.explode("members").alias("doc_a"), "members")
-        .select("doc_a", F.explode("members").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
-    )
-    pairs = cross.unionByName(intra)
-    return pairs, sigs, hot
+    return cpairs, sigs, hot
 
 
 def lsh_pairs_sql() -> str:
@@ -749,8 +770,17 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     Edges = exact-dup groups ∪ Jaccard-verified LSH pairs. Iterative
     min-label propagation: O(log n) join rounds, each a shuffle on
     doc_id — no driver-side graph.
+
+    Clustering consumes CANONICAL-level near edges
+    (:func:`lsh_canonical_pairs`), not expanded document pairs: the
+    member→canonical star edges already connect every exact duplicate
+    to its canonical, so one canonical↔canonical edge yields the same
+    connected components as the members_a × members_b expansion — O(g)
+    edges per g-member boilerplate group instead of the g² the
+    pair-query output contract requires. Component min-ids (labels) are
+    unchanged because the vertex set is unchanged.
     """
-    near_pairs, sigs, hot = lsh_pairs_with_sigs(corpus)
+    cpairs, sigs, hot = lsh_canonical_pairs(corpus)
     # exact-dup edges (member → canonical) come off the cached signature
     # table's members arrays — no second corpus hash pass
     e1 = (
@@ -758,7 +788,7 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         .select(F.col("doc_id").alias("b"), F.explode("members").alias("a"))
         .select("a", "b")
     )
-    near = near_pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    near = cpairs.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
     edges = e1.unionByName(near).filter(F.col("a") != F.col("b")).dropDuplicates(
         ["a", "b"]
     ).persist()
