@@ -194,3 +194,74 @@ def test_stream_domain_counts_match_batch(spark, tmp_path):
     )
     want = {(r["window_start_ms"], r["domain"]): r["cnt"] for r in batch}
     assert got == want and len(got) > 0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState first-seen content dedup vs the batch
+    exact_dedup twin. The duplicate COPIES stream in before the
+    originals, so every group's canonical starts as a copy id and must
+    refine retroactively when the smaller original id arrives — the
+    upserted sink still has to converge to the batch answer exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.operators.dedup import (
+        DUP_OFFSET,
+        augment_corpus,
+        exact_dedup,
+    )
+    from mklab_focused_crawler_spark.streaming.dedup import streaming_exact_dedup
+
+    corpus = augment_corpus(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    in_dir = tmp_path / "in_dedup"
+    in_dir.mkdir()
+    pdf = corpus.toPandas()
+    a = pdf[pdf.doc_id >= DUP_OFFSET]  # the exact/near copies
+    b = pdf[pdf.doc_id < DUP_OFFSET]  # the originals (smaller ids)
+    pq.write_table(
+        pa.Table.from_pandas(a, preserve_index=False), str(in_dir / "a_copies.parquet")
+    )
+    pq.write_table(
+        pa.Table.from_pandas(b, preserve_index=False),
+        str(in_dir / "b_originals.parquet"),
+    )
+    # file source picks oldest-mtime first; pin copies before originals
+    os.utime(in_dir / "a_copies.parquet", (1_000_000_000, 1_000_000_000))
+    os.utime(in_dir / "b_originals.parquet", (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # keyed upsert by doc_id under the monotone-refine contract:
+    # canonical only decreases, dup_count only grows
+    upserted: dict[int, tuple[str, int, int]] = {}
+    canonicals_seen: dict[int, set[int]] = {}
+    for r in spark.table("stream_dedup").collect():
+        h, c, n = upserted.get(r["doc_id"], (r["text_hash"], 1 << 62, 0))
+        assert h == r["text_hash"]
+        upserted[r["doc_id"]] = (h, min(c, r["canonical_doc_id"]), max(n, r["dup_count"]))
+        canonicals_seen.setdefault(r["doc_id"], set()).add(r["canonical_doc_id"])
+
+    want = {
+        r["doc_id"]: (r["text_hash"], r["canonical_doc_id"], r["dup_count"])
+        for r in exact_dedup(corpus).collect()
+    }
+    assert upserted == want and len(want) > 0
+    # non-vacuous: at least one copy's canonical genuinely refined when
+    # its original arrived in the second micro-batch
+    assert any(len(cs) > 1 for cs in canonicals_seen.values())
