@@ -277,6 +277,29 @@ def lsh_pairs(corpus: DataFrame) -> DataFrame:
     return pairs
 
 
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — one row per LSH band per doc with
+    a non-empty shingle set (empty-shingle docs all share the sentinel
+    signature: banding them creates one guaranteed-hot bucket whose
+    pairs can never verify above 0.0, so they're skipped — mirrored in
+    the SQL twin by the same reasoning applied to the naive pipeline).
+
+    Band key = xxhash64 of the band's ROWS signature lanes: an 8-byte
+    shuffle key instead of a dash-joined string (32 unrolled string
+    builders blew up codegen at K=128), and engine-internal only — a
+    hash collision can only ADD a candidate pair, which the exact
+    Jaccard verify gate removes, so the output is unchanged."""
+    return sigs.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda j: F.xxhash64(F.slice(F.col("sig"), j * ROWS + 1, ROWS)),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
 def lsh_canonical_pairs(
     corpus: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
 ):
@@ -394,20 +417,7 @@ def _lsh_pipeline(corpus: DataFrame, bucket_cap: int):
     sigs.count()
 
     # 2. banding over non-empty canonicals, hot buckets dropped + counted.
-    # Band key = xxhash64 of the band's 4 signature lanes: an 8-byte
-    # shuffle key instead of a dash-joined string (32 unrolled string
-    # builders blew up codegen at K=128), and engine-internal only — a
-    # hash collision can only ADD a candidate pair, which the exact
-    # Jaccard verify gate removes, so the output is unchanged.
-    bands = sigs.filter(F.size("shingles") > 0).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                lambda j: F.xxhash64(F.slice(F.col("sig"), j * ROWS + 1, ROWS)),
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    bands = band_rows(sigs)
     # hot = the buckets over the cap: small by definition (each is a
     # whole flood), so the anti-join below broadcasts and the band rows
     # never shuffle for the guard itself

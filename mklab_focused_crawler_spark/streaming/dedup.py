@@ -92,3 +92,167 @@ def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate detection: incremental MinHash-LSH index
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_lsh_dedup(
+    stream: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    bucket_cap: int | None = None,
+) -> dict:
+    """Near-duplicate pair detection AT INGESTION: each micro-batch of
+    documents is signed, probed against the accumulated LSH index,
+    exact-Jaccard verified, and committed — the streaming twin of
+    ``operators/dedup.lsh_pairs`` (which re-scans the whole corpus).
+
+    Architecture (foreachBatch — the heavy ops are ordinary batch
+    DataFrame plans per micro-batch; same commit-then-reread pattern as
+    the crawl loop's docs table):
+
+    - ``lsh_bands`` (SnapshotTable): the INDEX — (doc_id, band_idx,
+      band_key), appended per batch. Persisting the banded form means
+      old docs are never re-signed and never re-banded; a batch probes
+      it with one equi-join on the 8-byte key.
+    - ``lsh_shingles`` (SnapshotTable): (doc_id, shingles) for the
+      exact verify stage — only candidate pairs ever load shingles.
+    - ``lsh_pairs`` (SnapshotTable): verified (doc_a, doc_b, jaccard)
+      appended per batch. A pair emits exactly when its LATER side
+      arrives, so each pair appends once; a replayed micro-batch
+      (failure recovery) may re-append — read through
+      :func:`read_streaming_lsh_pairs`, which dedups.
+    - ``lsh_hot`` (SnapshotTable): per-batch dropped hot buckets
+      (band_idx, band_key, bn) — the no-silent-caps ledger. NOTE the
+      semantic difference from batch: the guard sees each bucket's
+      occupancy AS OF the batch, so pairs emitted before a bucket went
+      hot stay emitted (batch drops the bucket whole).
+
+    Output equivalence (asserted in tests): with the cap never firing,
+    the deduped pair store over any micro-batch split of a corpus
+    equals batch ``lsh_pairs`` on the whole corpus — a pair (a, b) is
+    found iff ≥1 band key matches and exact Jaccard ≥ threshold, and
+    both conditions are arrival-order independent because the index
+    always holds every earlier doc's bands.
+
+    Returns {"pairs": ..., "bands": ..., "shingles": ..., "hot": ...}
+    (the SnapshotTable handles)."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BUCKET_CAP,
+        band_rows,
+        minhash_signatures,
+    )
+    from ..storage.snapshot import SnapshotTable
+
+    cap = LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    bands_t = SnapshotTable(store_root, "lsh_bands")
+    shingles_t = SnapshotTable(store_root, "lsh_shingles")
+    pairs_t = SnapshotTable(store_root, "lsh_pairs")
+    hot_t = SnapshotTable(store_root, "lsh_hot")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        corpus = batch_df.filter(F.col("text").isNotNull()).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        sigs = minhash_signatures(corpus).persist()
+        if sigs.count() == 0:
+            sigs.unpersist()
+            return
+        new_bands = band_rows(sigs).persist()
+        new_bands.count()
+
+        old_bands = (
+            bands_t.read(spark)
+            if bands_t.exists()
+            else spark.createDataFrame([], "doc_id long, band_idx int, band_key long")
+        )
+        all_bands = old_bands.unionByName(new_bands)
+        # hot-bucket guard on combined occupancy as of this batch
+        hot = (
+            all_bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") > cap)
+            .persist()
+        )
+        if hot.count() > 0:
+            hot_t.append(hot.withColumn("batch_id", F.lit(batch_id)))
+            guard = F.broadcast(hot.select("band_idx", "band_key"))
+            new_probe = new_bands.join(guard, ["band_idx", "band_key"], "left_anti")
+            all_side = all_bands.join(guard, ["band_idx", "band_key"], "left_anti")
+        else:
+            new_probe, all_side = new_bands, all_bands
+
+        # candidates: at least one side new => each pair found exactly
+        # once, in the batch where its later doc arrives (new x new
+        # pairs appear from both sides; least/greatest + dropDuplicates
+        # collapses them)
+        cand = (
+            new_probe.select(F.col("doc_id").alias("doc_n"), "band_idx", "band_key")
+            .join(
+                all_side.select(F.col("doc_id").alias("doc_o"), "band_idx", "band_key"),
+                ["band_idx", "band_key"],
+            )
+            .filter(F.col("doc_n") != F.col("doc_o"))
+            .select(
+                F.least("doc_n", "doc_o").alias("doc_a"),
+                F.greatest("doc_n", "doc_o").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        all_sh = shingles_t.read(spark).unionByName(
+            sigs.select("doc_id", "shingles")
+        ) if shingles_t.exists() else sigs.select("doc_id", "shingles")
+        verified = (
+            cand.join(
+                all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+                "doc_a",
+            )
+            .join(
+                all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+                "doc_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        got = verified.persist()
+        if got.count() > 0:
+            pairs_t.append(got)
+        # commit the batch into the index LAST: a replayed batch then
+        # re-probes against the same pre-batch index state
+        bands_t.append(new_bands)
+        shingles_t.append(sigs.select("doc_id", "shingles"))
+        for h in (sigs, new_bands, hot, got):
+            h.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"pairs": pairs_t, "bands": bands_t, "shingles": shingles_t, "hot": hot_t}
+
+
+def read_streaming_lsh_pairs(spark, store_root: str) -> DataFrame:
+    """The verified pair set — deduped (replayed micro-batches may
+    append a pair twice; at-least-once appends, exactly-once reads)."""
+    from ..storage.snapshot import SnapshotTable
+
+    t = SnapshotTable(store_root, "lsh_pairs")
+    if not t.exists():
+        return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    return t.read(spark).dropDuplicates(["doc_a", "doc_b"])

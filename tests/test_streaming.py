@@ -265,3 +265,63 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     # non-vacuous: at least one copy's canonical genuinely refined when
     # its original arrived in the second micro-batch
     assert any(len(cs) > 1 for cs in canonicals_seen.values())
+
+
+def test_streaming_lsh_deduplicates_like_batch(spark, tmp_path):
+    """Incremental LSH index via foreachBatch: the deduped pair store
+    over a 3-way micro-batch split (copies before originals, originals
+    split so cross-batch pairs must probe the committed index) equals
+    batch lsh_pairs over the whole corpus exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.operators.dedup import (
+        DUP_OFFSET,
+        augment_corpus,
+        lsh_pairs,
+    )
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        read_streaming_lsh_pairs,
+        run_streaming_lsh_dedup,
+    )
+
+    corpus = augment_corpus(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    in_dir = tmp_path / "in_lsh"
+    in_dir.mkdir()
+    pdf = corpus.toPandas()
+    parts = [
+        pdf[pdf.doc_id >= DUP_OFFSET],  # the copies arrive first
+        pdf[(pdf.doc_id < DUP_OFFSET) & (pdf.doc_id % 2 == 0)],
+        pdf[(pdf.doc_id < DUP_OFFSET) & (pdf.doc_id % 2 == 1)],
+    ]
+    for i, part in enumerate(parts):
+        p = in_dir / f"batch_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), str(p))
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "lsh_store")
+    run_streaming_lsh_dedup(stream, store, str(tmp_path / "ckpt_lsh"))
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in read_streaming_lsh_pairs(spark, store).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in lsh_pairs(corpus).collect()
+    }
+    assert got == want and len(want) > 0
+    # non-vacuous split: some pair spans micro-batches (one side in the
+    # copies file, the other in an originals file)
+    copies = set(parts[0].doc_id)
+    originals = set(pdf[pdf.doc_id < DUP_OFFSET].doc_id)
+    assert any(
+        (a in originals and b in copies) or (a in copies and b in originals)
+        for a, b, _ in got
+    )
