@@ -325,3 +325,53 @@ def test_streaming_lsh_deduplicates_like_batch(spark, tmp_path):
         (a in originals and b in copies) or (a in copies and b in originals)
         for a, b, _ in got
     )
+
+
+def test_streaming_ivf_index_matches_batch(spark, tmp_path):
+    """Incremental IVF index: stream the embeddings in 3 micro-batches,
+    then query the list-partitioned store — must equal batch ivf_topk
+    over the full corpus exactly (assignment is the same pure-int64
+    function per row, so only the plumbing can break this)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.operators.similarity import ivf_topk
+    from mklab_focused_crawler_spark.streaming.similarity import (
+        ivf_index_topk,
+        run_streaming_ivf_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    in_dir = tmp_path / "in_ivf"
+    in_dir.mkdir()
+    pdf = emb.toPandas()
+    for i in range(3):
+        part = pdf[pdf.vec_id % 3 == i]
+        p = in_dir / f"batch_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), str(p))
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "ivf_store")
+    index = run_streaming_ivf_ingest(stream, store, str(tmp_path / "ckpt_ivf"))
+
+    cols = ("probe_id", "vec_id", "list_id", "rank", "dot_q", "cosine")
+    got = {tuple(r[c] for c in cols) for r in ivf_index_topk(spark, store).collect()}
+    want = {tuple(r[c] for c in cols) for r in ivf_topk(emb).collect()}
+    assert got == want and len(want) > 0
+    # the storage layout IS the index: hive partition dirs per list
+    data_dirs = [
+        os.path.join(index.data_dir, d) for d in os.listdir(index.data_dir)
+    ]
+    assert len(data_dirs) >= 3  # one append per micro-batch
+    assert any(
+        e.startswith("list_id=") for d in data_dirs for e in os.listdir(d)
+    )
