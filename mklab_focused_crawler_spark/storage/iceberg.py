@@ -185,5 +185,20 @@ class IcebergTable(VersionedTable):
             f"('{self.identifier}', {int(snapshot)})"
         )
 
+    def compact(self, spark: SparkSession) -> int:
+        catalog = self.identifier.split(".")[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files"
+            f"(table => '{self.identifier}')"
+        )
+        return self.current_snapshot() or 0
+
+    def expire_snapshots(self, keep_last: int = 1) -> None:
+        catalog = self.identifier.split(".")[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots"
+            f"(table => '{self.identifier}', retain_last => {int(keep_last)})"
+        )
+
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.identifier}")

@@ -49,6 +49,8 @@ class VersionedTable(abc.ABC):
                          WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT
     merge_if_absent      MERGE INTO ... WHEN NOT MATCHED INSERT (only)
     rollback_to          CALL catalog.system.rollback_to_snapshot(...)
+    compact              CALL catalog.system.rewrite_data_files(...)
+    expire_snapshots     CALL catalog.system.expire_snapshots(...)
     drop                 DROP TABLE
     ==================== ==============================================
     """
@@ -97,6 +99,21 @@ class VersionedTable(abc.ABC):
 
     @abc.abstractmethod
     def rollback_to(self, snapshot: int) -> None: ...
+
+    @abc.abstractmethod
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the current snapshot's rows into one data segment
+        (small-file compaction). Append-heavy tables — a streaming
+        index commits one segment per micro-batch — otherwise pay a
+        per-segment scan at every read. Contents unchanged."""
+
+    @abc.abstractmethod
+    def expire_snapshots(self, keep_last: int = 1) -> None:
+        """Garbage-collect history: drop every snapshot except the
+        newest ``keep_last`` ending at the current one, and delete data
+        files no kept snapshot references. Bounds storage after
+        compaction (the pre-compaction segments stay on disk for time
+        travel until expired, exactly like Iceberg)."""
 
     @abc.abstractmethod
     def drop(self) -> None: ...

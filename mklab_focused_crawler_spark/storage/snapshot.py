@@ -291,6 +291,44 @@ class SnapshotTable(VersionedTable):
         inserts = batch.join(target_keys, keys, "left_anti")
         return self.append(inserts)
 
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the current snapshot into ONE data segment (Iceberg
+        rewrite_data_files). The new segment is written to a fresh
+        directory before the commit flips CURRENT, so concurrent
+        readers of the old snapshot are untouched; merge-on-read
+        exclusion entries are resolved into plain rows. Old segments
+        remain for time travel until :meth:`expire_snapshots`."""
+        df = self.read(spark)
+        nxt = (self.current_snapshot() or 0) + 1
+        d = self._write_data(df, nxt)
+        return self._commit([d], "compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> None:
+        """Drop all snapshots except the newest ``keep_last`` ending at
+        CURRENT (after a rollback this also removes the abandoned
+        newer-than-current snapshots), then delete data directories no
+        kept manifest references. Time travel to an expired snapshot
+        raises FileNotFoundError afterwards — same contract as Iceberg
+        expire_snapshots."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return
+        keep = set(range(max(1, cur - int(keep_last) + 1), cur + 1))
+        live: set[str] = set()
+        for s in keep:
+            mp = os.path.join(self.snap_dir, f"{s:07d}.json")
+            if os.path.exists(mp):
+                live |= {self._entry_path(e) for e in self._manifest(s)["files"]}
+        for name in os.listdir(self.snap_dir):
+            if not name.endswith(".json"):
+                continue
+            if int(name[:-5]) not in keep:
+                os.remove(os.path.join(self.snap_dir, name))
+        for name in os.listdir(self.data_dir):
+            p = os.path.join(self.data_dir, name)
+            if p not in live:
+                shutil.rmtree(p, ignore_errors=True)
+
     def rollback_to(self, snapshot: int) -> None:
         """Point CURRENT back to an older snapshot (resume-after-kill)."""
         if not os.path.exists(os.path.join(self.snap_dir, f"{snapshot:07d}.json")):

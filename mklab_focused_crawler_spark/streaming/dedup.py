@@ -104,6 +104,7 @@ def run_streaming_lsh_dedup(
     store_root: str,
     checkpoint_dir: str,
     bucket_cap: int | None = None,
+    compact_every: int | None = None,
 ) -> dict:
     """Near-duplicate pair detection AT INGESTION: each micro-batch of
     documents is signed, probed against the accumulated LSH index,
@@ -234,6 +235,14 @@ def run_streaming_lsh_dedup(
         # re-probes against the same pre-batch index state
         bands_t.append(new_bands)
         shingles_t.append(sigs.select("doc_id", "shingles"))
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # fold the per-batch segments into one (reads otherwise
+            # union one scan per micro-batch ever ingested), then drop
+            # the superseded history — an ingestion index doesn't need
+            # time travel to its intermediate states
+            for t in (bands_t, shingles_t):
+                t.compact(spark)
+                t.expire_snapshots(keep_last=1)
         for h in (sigs, new_bands, hot, got):
             h.unpersist()
 

@@ -45,6 +45,7 @@ def run_streaming_ivf_ingest(
     store_root: str,
     checkpoint_dir: str,
     centroids: list[list[int]] | None = None,
+    compact_every: int | None = None,
 ) -> SnapshotTable:
     """embeddings stream (vec_id, embedding) → list-partitioned index.
 
@@ -65,6 +66,11 @@ def run_streaming_ivf_ingest(
             F.get(_ivf_ranked_lists(F.col("q"), centroids), 0).alias("list_id"),
         )
         index.append(assigned)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # fold per-batch segments into one partitioned segment and
+            # drop superseded history (see streaming/dedup.py rationale)
+            index.compact(batch_df.sparkSession)
+            index.expire_snapshots(keep_last=1)
 
     q = (
         stream.writeStream.foreachBatch(_process)

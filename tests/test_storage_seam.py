@@ -99,3 +99,38 @@ def test_engine_call_sites_stay_inside_the_seam():
     assert found_ctors, "audit must find SnapshotTable construction sites"
     assert checked > 10, "audit must see real call sites"
     assert not offenders, offenders
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """compact folds N per-append segments into one (contents
+    unchanged, partition layout kept); expire_snapshots drops the
+    superseded history and its data dirs; time travel to an expired
+    snapshot fails loudly."""
+    import os
+
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path), "idx", partition_by=("b",))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, i % 2)], "x long, b int"))
+    before = {(r["x"], r["b"]) for r in t.read(spark).collect()}
+    assert len(os.listdir(t.data_dir)) == 3
+
+    snap = t.compact(spark)
+    manifest_files = t._manifest(snap)["files"]
+    assert len(manifest_files) == 1
+    assert {(r["x"], r["b"]) for r in t.read(spark).collect()} == before
+    # partition layout preserved in the compacted segment
+    assert any(
+        e.startswith("b=") for e in os.listdir(manifest_files[0])
+    )
+    # pre-expiry: time travel still reaches an old snapshot
+    assert {(r["x"], r["b"]) for r in t.read(spark, snapshot=1).collect()} == {
+        (0, 0)
+    }
+
+    t.expire_snapshots(keep_last=1)
+    assert len(os.listdir(t.data_dir)) == 1  # only the compacted segment
+    assert {(r["x"], r["b"]) for r in t.read(spark).collect()} == before
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot=1)

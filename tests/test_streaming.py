@@ -361,7 +361,9 @@ def test_streaming_ivf_index_matches_batch(spark, tmp_path):
         .parquet(str(in_dir))
     )
     store = str(tmp_path / "ivf_store")
-    index = run_streaming_ivf_ingest(stream, store, str(tmp_path / "ckpt_ivf"))
+    index = run_streaming_ivf_ingest(
+        stream, store, str(tmp_path / "ckpt_ivf"), compact_every=2
+    )
 
     cols = ("probe_id", "vec_id", "list_id", "rank", "dot_q", "cosine")
     got = {tuple(r[c] for c in cols) for r in ivf_index_topk(spark, store).collect()}
@@ -371,7 +373,9 @@ def test_streaming_ivf_index_matches_batch(spark, tmp_path):
     data_dirs = [
         os.path.join(index.data_dir, d) for d in os.listdir(index.data_dir)
     ]
-    assert len(data_dirs) >= 3  # one append per micro-batch
+    # batches 0-1 appended then compacted+expired to ONE segment;
+    # batch 2 appended a second — maintenance ran inside the stream
+    assert len(data_dirs) == 2
     assert any(
         e.startswith("list_id=") for d in data_dirs for e in os.listdir(d)
     )
