@@ -141,110 +141,13 @@ def run_streaming_lsh_dedup(
 
     Returns {"pairs": ..., "bands": ..., "shingles": ..., "hot": ...}
     (the SnapshotTable handles)."""
-    from ..operators.dedup import (
-        JACCARD_THRESHOLD,
-        LSH_BUCKET_CAP,
-        band_rows,
-        minhash_signatures,
-    )
-    from ..storage.snapshot import SnapshotTable
-
-    cap = LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
-    bands_t = SnapshotTable(store_root, "lsh_bands")
-    shingles_t = SnapshotTable(store_root, "lsh_shingles")
-    pairs_t = SnapshotTable(store_root, "lsh_pairs")
-    hot_t = SnapshotTable(store_root, "lsh_hot")
+    tables = _make_lsh_tables(store_root)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        corpus = batch_df.filter(F.col("text").isNotNull()).select(
-            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        _lsh_process_batch(
+            batch_df, batch_id, tables, bucket_cap, compact_every,
+            batch_df.sparkSession,
         )
-        sigs = minhash_signatures(corpus).persist()
-        if sigs.count() == 0:
-            sigs.unpersist()
-            return
-        new_bands = band_rows(sigs).persist()
-        new_bands.count()
-
-        old_bands = (
-            bands_t.read(spark)
-            if bands_t.exists()
-            else spark.createDataFrame([], "doc_id long, band_idx int, band_key long")
-        )
-        all_bands = old_bands.unionByName(new_bands)
-        # hot-bucket guard on combined occupancy as of this batch
-        hot = (
-            all_bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("bn"))
-            .filter(F.col("bn") > cap)
-            .persist()
-        )
-        if hot.count() > 0:
-            hot_t.append(hot.withColumn("batch_id", F.lit(batch_id)))
-            guard = F.broadcast(hot.select("band_idx", "band_key"))
-            new_probe = new_bands.join(guard, ["band_idx", "band_key"], "left_anti")
-            all_side = all_bands.join(guard, ["band_idx", "band_key"], "left_anti")
-        else:
-            new_probe, all_side = new_bands, all_bands
-
-        # candidates: at least one side new => each pair found exactly
-        # once, in the batch where its later doc arrives (new x new
-        # pairs appear from both sides; least/greatest + dropDuplicates
-        # collapses them)
-        cand = (
-            new_probe.select(F.col("doc_id").alias("doc_n"), "band_idx", "band_key")
-            .join(
-                all_side.select(F.col("doc_id").alias("doc_o"), "band_idx", "band_key"),
-                ["band_idx", "band_key"],
-            )
-            .filter(F.col("doc_n") != F.col("doc_o"))
-            .select(
-                F.least("doc_n", "doc_o").alias("doc_a"),
-                F.greatest("doc_n", "doc_o").alias("doc_b"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        all_sh = shingles_t.read(spark).unionByName(
-            sigs.select("doc_id", "shingles")
-        ) if shingles_t.exists() else sigs.select("doc_id", "shingles")
-        verified = (
-            cand.join(
-                all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-                "doc_a",
-            )
-            .join(
-                all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-                "doc_b",
-            )
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                    / F.size(F.array_union("sh_a", "sh_b")),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", "jaccard")
-        )
-        got = verified.persist()
-        if got.count() > 0:
-            pairs_t.append(got)
-        # commit the batch into the index LAST: a replayed batch then
-        # re-probes against the same pre-batch index state
-        bands_t.append(new_bands)
-        shingles_t.append(sigs.select("doc_id", "shingles"))
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            # fold the per-batch segments into one (reads otherwise
-            # union one scan per micro-batch ever ingested), then drop
-            # the superseded history — an ingestion index doesn't need
-            # time travel to its intermediate states
-            for t in (bands_t, shingles_t):
-                t.compact(spark)
-                t.expire_snapshots(keep_last=1)
-        for h in (sigs, new_bands, hot, got):
-            h.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_process)
@@ -253,7 +156,129 @@ def run_streaming_lsh_dedup(
         .start()
     )
     q.awaitTermination()
-    return {"pairs": pairs_t, "bands": bands_t, "shingles": shingles_t, "hot": hot_t}
+    return tables
+
+
+def _make_lsh_tables(store_root: str) -> dict:
+    from ..storage.snapshot import SnapshotTable
+
+    return {
+        "bands": SnapshotTable(store_root, "lsh_bands"),
+        "shingles": SnapshotTable(store_root, "lsh_shingles"),
+        "pairs": SnapshotTable(store_root, "lsh_pairs"),
+        "hot": SnapshotTable(store_root, "lsh_hot"),
+    }
+
+
+def _lsh_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    tables: dict,
+    bucket_cap: int | None,
+    compact_every: int | None,
+    spark,
+) -> None:
+    """One micro-batch of the incremental LSH pipeline (see
+    run_streaming_lsh_dedup for the architecture)."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BUCKET_CAP,
+        band_rows,
+        minhash_signatures,
+    )
+
+    cap = LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    bands_t, shingles_t = tables["bands"], tables["shingles"]
+    pairs_t, hot_t = tables["pairs"], tables["hot"]
+    corpus = batch_df.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sigs = minhash_signatures(corpus).persist()
+    if sigs.count() == 0:
+        sigs.unpersist()
+        return
+    new_bands = band_rows(sigs).persist()
+    new_bands.count()
+
+    old_bands = (
+        bands_t.read(spark)
+        if bands_t.exists()
+        else spark.createDataFrame([], "doc_id long, band_idx int, band_key long")
+    )
+    all_bands = old_bands.unionByName(new_bands)
+    # hot-bucket guard on combined occupancy as of this batch
+    hot = (
+        all_bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > cap)
+        .persist()
+    )
+    if hot.count() > 0:
+        hot_t.append(hot.withColumn("batch_id", F.lit(batch_id)))
+        guard = F.broadcast(hot.select("band_idx", "band_key"))
+        new_probe = new_bands.join(guard, ["band_idx", "band_key"], "left_anti")
+        all_side = all_bands.join(guard, ["band_idx", "band_key"], "left_anti")
+    else:
+        new_probe, all_side = new_bands, all_bands
+
+    # candidates: at least one side new => each pair found exactly
+    # once, in the batch where its later doc arrives (new x new
+    # pairs appear from both sides; least/greatest + dropDuplicates
+    # collapses them)
+    cand = (
+        new_probe.select(F.col("doc_id").alias("doc_n"), "band_idx", "band_key")
+        .join(
+            all_side.select(F.col("doc_id").alias("doc_o"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("doc_n") != F.col("doc_o"))
+        .select(
+            F.least("doc_n", "doc_o").alias("doc_a"),
+            F.greatest("doc_n", "doc_o").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    all_sh = shingles_t.read(spark).unionByName(
+        sigs.select("doc_id", "shingles")
+    ) if shingles_t.exists() else sigs.select("doc_id", "shingles")
+    verified = (
+        cand.join(
+            all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    got = verified.persist()
+    if got.count() > 0:
+        pairs_t.append(got)
+    # commit the batch into the index LAST: a replayed batch then
+    # re-probes against the same pre-batch index state
+    bands_t.append(new_bands)
+    shingles_t.append(sigs.select("doc_id", "shingles"))
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        # fold the per-batch segments into one (reads otherwise
+        # union one scan per micro-batch ever ingested), then drop
+        # the superseded history — an ingestion index doesn't need
+        # time travel to its intermediate states
+        for t in (bands_t, shingles_t):
+            t.compact(spark)
+            t.expire_snapshots(keep_last=1)
+    for h in (sigs, new_bands, hot, got):
+        h.unpersist()
+
 
 
 def read_streaming_lsh_pairs(spark, store_root: str) -> DataFrame:
@@ -265,3 +290,107 @@ def read_streaming_lsh_pairs(spark, store_root: str) -> DataFrame:
     if not t.exists():
         return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
     return t.read(spark).dropDuplicates(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# streaming duplicate clusters: incremental connected components
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_duplicate_clusters(
+    stream: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    bucket_cap: int | None = None,
+    compact_every: int | None = None,
+) -> dict:
+    """Cluster ids AT INGESTION — the streaming twin of
+    ``operators/dedup.duplicate_clusters``, completing the trio
+    (exact gate → near pairs → clusters) so a pipeline can route
+    documents by duplicate group as they arrive.
+
+    Per micro-batch, on top of the incremental LSH pipeline
+    (:func:`run_streaming_lsh_dedup` — this function maintains the same
+    band/shingle/pair stores and adds two):
+
+    - ``content_groups`` (SnapshotTable): (text_hash, doc_id) appended
+      per batch — the exact-duplicate groups across ALL batches. Needed
+      because empty-shingle exact duplicates never reach the band index
+      (they can't verify ≥ the Jaccard gate) yet DO cluster; the batch
+      operator gets them from its members arrays.
+    - ``clusters`` (SnapshotTable): the full (doc_id, cluster_id) table,
+      OVERWRITTEN per batch from a driver-side union-find — the same
+      scale regime as the batch operator's ≤1M-edge driver path, and
+      the same deterministic min-doc_id labels. Labels only ever
+      decrease as components merge (monotone refine); the final table
+      equals batch ``duplicate_clusters`` over the union of batches.
+
+    The union-find is reconstructed from the committed edge evidence at
+    each batch (edges = near pairs ∪ exact-group stars), so a replayed
+    micro-batch converges to the same table — at-least-once appends,
+    deterministic overwrite. Beyond the driver regime (>1M edges) the
+    batch operator's distributed min-label propagation is the intended
+    path, run as a periodic batch job over the same committed stores.
+    """
+    from ..storage.snapshot import SnapshotTable
+
+    tables = _make_lsh_tables(store_root)
+    groups_t = SnapshotTable(store_root, "content_groups")
+    clusters_t = SnapshotTable(store_root, "clusters")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _lsh_process_batch(
+            batch_df, batch_id, tables, bucket_cap, compact_every, spark
+        )
+        hashed = batch_df.filter(F.col("text").isNotNull()).select(
+            F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        groups_t.append(hashed)
+
+        # driver union-find over the committed evidence (≤1M-edge regime;
+        # the same adaptive boundary as the batch operator)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        def union(a: int, b: int) -> None:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        exact = groups_t.read(spark).groupBy("text_hash").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("members")
+        ).filter(F.size("members") > 1).select("members")
+        for row in exact.collect():
+            m = row["members"]
+            for x in m[1:]:
+                union(m[0], x)
+        if tables["pairs"].exists():
+            for row in tables["pairs"].read(spark).select("doc_a", "doc_b").collect():
+                union(row["doc_a"], row["doc_b"])
+        rows = sorted((x, find(x)) for x in parent)
+        clusters_t.overwrite(
+            spark.createDataFrame(rows, "doc_id long, cluster_id long")
+            if rows
+            else spark.createDataFrame([], "doc_id long, cluster_id long")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {**tables, "groups": groups_t, "clusters": clusters_t}

@@ -379,3 +379,56 @@ def test_streaming_ivf_index_matches_batch(spark, tmp_path):
     assert any(
         e.startswith("list_id=") for d in data_dirs for e in os.listdir(d)
     )
+
+
+def test_streaming_duplicate_clusters_match_batch(spark, tmp_path):
+    """Incremental connected components over the streamed dedup
+    evidence (exact groups ∪ verified LSH pairs): after the last
+    micro-batch, the overwritten clusters table equals batch
+    duplicate_clusters over the whole corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.operators.dedup import (
+        DUP_OFFSET,
+        augment_corpus,
+        duplicate_clusters,
+    )
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        run_streaming_duplicate_clusters,
+    )
+
+    corpus = augment_corpus(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    in_dir = tmp_path / "in_cc"
+    in_dir.mkdir()
+    pdf = corpus.toPandas()
+    parts = [
+        pdf[pdf.doc_id >= DUP_OFFSET],
+        pdf[(pdf.doc_id < DUP_OFFSET) & (pdf.doc_id % 2 == 0)],
+        pdf[(pdf.doc_id < DUP_OFFSET) & (pdf.doc_id % 2 == 1)],
+    ]
+    for i, part in enumerate(parts):
+        p = in_dir / f"batch_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), str(p))
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "cc_store")
+    tables = run_streaming_duplicate_clusters(
+        stream, store, str(tmp_path / "ckpt_cc"), compact_every=2
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in tables["clusters"].read(spark).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(spark, corpus).collect()
+    }
+    assert got == want and len(want) > 0
