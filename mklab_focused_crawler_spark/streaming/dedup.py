@@ -139,6 +139,16 @@ def run_streaming_lsh_dedup(
     both conditions are arrival-order independent because the index
     always holds every earlier doc's bands.
 
+    Scale note: the probe equi-join and the hot-bucket occupancy count
+    scan the band index once per micro-batch (shuffled on the band
+    key). At 10^10 docs the index side should be a band-key-bucketed
+    table so the probe becomes a storage-partitioned join (the crawl
+    loop's fetch_join="bucketed" pattern) and the occupancy count a
+    per-bucket metadata lookup; the parquet-manifest stand-in has no
+    bucketed-write surface (needs a metastore), so that wiring lands
+    with the Iceberg adapter. Amortization is the other lever: batch
+    size controls how often the index is scanned.
+
     Returns {"pairs": ..., "bands": ..., "shingles": ..., "hot": ...}
     (the SnapshotTable handles)."""
     tables = _make_lsh_tables(store_root)
