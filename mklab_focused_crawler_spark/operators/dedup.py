@@ -772,6 +772,32 @@ def simhash_pairs_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+def union_find_labels(edges) -> list[tuple[int, int]]:
+    """Driver-side union-find with deterministic min-id component
+    labels (path-halving; union by min id). ``edges`` iterates (a, b)
+    pairs; returns sorted (doc_id, cluster_id) rows for every vertex
+    that appears in an edge. Shared by the batch ≤1M-edge regime and
+    the streaming clusters op so the label rule can't diverge."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((x, find(x)) for x in parent)
+
+
 def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) for docs in any duplicate relation; cluster
     id = min(doc_id) in the component (deterministic — replaces the
@@ -824,26 +850,9 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
             LSH_BUCKET_CAP,
         )
     if n_edges <= 1_000_000:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in edges.collect():
-            a, b = row["a"], row["b"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min id keeps labels deterministic
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = sorted((x, find(x)) for x in parent)
+        rows = union_find_labels(
+            (row["a"], row["b"]) for row in edges.collect()
+        )
         edges.unpersist()
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
     # bidirectional adjacency — persisted: every propagation round joins

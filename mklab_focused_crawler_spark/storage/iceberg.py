@@ -104,11 +104,38 @@ class IcebergTable(VersionedTable):
             self._create_if_absent(df)
         return self.current_snapshot() or 0
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
+        if tag is not None and self.exists():
+            # idempotence ledger as a table property (comma-joined set);
+            # a snapshot summary property would be per-commit — the
+            # table property survives compaction/expiry like the
+            # stand-in's manifest tag set
+            props = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {self.identifier}"
+                ).collect()
+            }
+            tags = set(filter(None, props.get("vt.tags", "").split(",")))
+            if tag in tags:
+                return self.current_snapshot() or 0
         if not self.exists():
             self._create_if_absent(df)
         else:
             df.writeTo(self.identifier).append()
+        if tag is not None:
+            props = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {self.identifier}"
+                ).collect()
+            }
+            tags = set(filter(None, props.get("vt.tags", "").split(",")))
+            tags.add(tag)
+            self.spark.sql(
+                f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
+                f"('vt.tags' = '{','.join(sorted(tags))}')"
+            )
         return self.current_snapshot() or 0
 
     def append_arrow(self, table) -> int:

@@ -65,7 +65,11 @@ class VersionedTable(abc.ABC):
     def overwrite(self, df: DataFrame) -> int: ...
 
     @abc.abstractmethod
-    def append(self, df: DataFrame) -> int: ...
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
+        """Add rows. ``tag`` makes the append idempotent for
+        at-least-once writers: a tag the table has already committed is
+        a no-op (Iceberg: a snapshot summary property checked before
+        writeTo().append())."""
 
     @abc.abstractmethod
     def append_arrow(self, table) -> int:

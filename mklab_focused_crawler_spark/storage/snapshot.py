@@ -61,9 +61,24 @@ class SnapshotTable(VersionedTable):
         with open(os.path.join(self.snap_dir, f"{snap:07d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], op: str) -> int:
+    def _tags(self) -> set:
+        """Cumulative commit tags (Iceberg: snapshot summary props) —
+        the idempotence ledger for at-least-once writers: an append
+        carrying an already-seen tag is a no-op. Every commit carries
+        the set forward, so compaction/expiry can't forget a batch."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return set()
+        return set(self._manifest(cur).get("tags", []))
+
+    def _commit(self, files: list[str], op: str, new_tags: tuple = ()) -> int:
         snap = (self.current_snapshot() or 0) + 1
-        manifest = {"snapshot": snap, "op": op, "files": files}
+        manifest = {
+            "snapshot": snap,
+            "op": op,
+            "files": files,
+            "tags": sorted(self._tags() | set(new_tags)),
+        }
         mpath = os.path.join(self.snap_dir, f"{snap:07d}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -93,13 +108,22 @@ class SnapshotTable(VersionedTable):
         d = self._write_data(df, nxt)
         return self._commit([d], "overwrite")
 
-    def append(self, df: DataFrame) -> int:
-        """Add rows (Iceberg: append snapshot — prior files retained)."""
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
+        """Add rows (Iceberg: append snapshot — prior files retained).
+
+        ``tag``: idempotence token for at-least-once writers (streaming
+        foreachBatch replays after a crash-before-checkpoint). If this
+        table already committed the tag, the append is a NO-OP returning
+        the current snapshot — the replayed batch's rows are already in
+        the table. Tags survive compaction and expiry (carried on every
+        manifest)."""
         cur = self.current_snapshot()
+        if tag is not None and tag in self._tags():
+            return cur or 0
         files = self._manifest(cur)["files"] if cur else []
         nxt = (cur or 0) + 1
         d = self._write_data(df, nxt)
-        return self._commit(files + [d], "append")
+        return self._commit(files + [d], "append", (tag,) if tag else ())
 
     @staticmethod
     def _entry_path(e) -> str:
@@ -314,18 +338,24 @@ class SnapshotTable(VersionedTable):
         if cur is None:
             return
         keep = set(range(max(1, cur - int(keep_last) + 1), cur + 1))
+        # liveness by abspath: manifests may record the path under a
+        # different root spelling (relative vs absolute) than the handle
+        # doing the expiry — raw string compare would sweep LIVE dirs
         live: set[str] = set()
         for s in keep:
             mp = os.path.join(self.snap_dir, f"{s:07d}.json")
             if os.path.exists(mp):
-                live |= {self._entry_path(e) for e in self._manifest(s)["files"]}
+                live |= {
+                    os.path.realpath(self._entry_path(e))
+                    for e in self._manifest(s)["files"]
+                }
         for name in os.listdir(self.snap_dir):
             if not name.endswith(".json"):
                 continue
             if int(name[:-5]) not in keep:
                 os.remove(os.path.join(self.snap_dir, name))
         for name in os.listdir(self.data_dir):
-            p = os.path.join(self.data_dir, name)
+            p = os.path.realpath(os.path.join(self.data_dir, name))
             if p not in live:
                 shutil.rmtree(p, ignore_errors=True)
 

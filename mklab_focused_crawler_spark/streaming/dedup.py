@@ -189,7 +189,24 @@ def _lsh_process_batch(
     spark,
 ) -> None:
     """One micro-batch of the incremental LSH pipeline (see
-    run_streaming_lsh_dedup for the architecture)."""
+    run_streaming_lsh_dedup for the architecture).
+
+    Exact duplicates are pre-collapsed WITHIN the batch (same min-id
+    canonical + members design as the batch pipeline): only batch
+    canonicals are signed, banded and indexed, and verified canonical
+    pairs expand through BOTH sides' members arrays (the shingle store
+    carries members per indexed canonical). A 10k-copy boilerplate
+    flood inside one batch therefore costs O(g) band rows, not g² pairs
+    through one bucket — without this the batch-side flood defense
+    (`_lsh_pipeline` step 1) would be silently absent from the
+    streaming twin and the cap would fire at group size instead of
+    flood-of-distinct-texts size. The same content arriving across B
+    separate batches still occupies B index entries (each batch's
+    canonical); their identical signatures collide on every band, so
+    the cross-batch 1.0 pairs and all inherited near-pairs are emitted,
+    and occupancy grows with B (bounded by batch count, not group
+    size)."""
+    from ..functions.text import ascii_lower as _ascii_lower
     from ..operators.dedup import (
         JACCARD_THRESHOLD,
         LSH_BUCKET_CAP,
@@ -203,7 +220,16 @@ def _lsh_process_batch(
     corpus = batch_df.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    sigs = minhash_signatures(corpus).persist()
+    # within-batch exact pre-collapse (batch-pipeline parity)
+    hashed = corpus.select(
+        "doc_id", F.md5(_ascii_lower(F.trim(F.col("text")))).alias("text_hash")
+    )
+    groups = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    canon = corpus.join(groups.select("doc_id", "members"), "doc_id")
+    sigs = minhash_signatures(canon, carry=("members",)).persist()
     if sigs.count() == 0:
         sigs.unpersist()
         return
@@ -224,7 +250,9 @@ def _lsh_process_batch(
         .persist()
     )
     if hot.count() > 0:
-        hot_t.append(hot.withColumn("batch_id", F.lit(batch_id)))
+        hot_t.append(
+            hot.withColumn("batch_id", F.lit(batch_id)), tag=f"b{batch_id}"
+        )
         guard = F.broadcast(hot.select("band_idx", "band_key"))
         new_probe = new_bands.join(guard, ["band_idx", "band_key"], "left_anti")
         all_side = all_bands.join(guard, ["band_idx", "band_key"], "left_anti")
@@ -248,16 +276,27 @@ def _lsh_process_batch(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    all_sh = shingles_t.read(spark).unionByName(
-        sigs.select("doc_id", "shingles")
-    ) if shingles_t.exists() else sigs.select("doc_id", "shingles")
+    new_sh = sigs.select("doc_id", "shingles", "members")
+    all_sh = (
+        shingles_t.read(spark).unionByName(new_sh)
+        if shingles_t.exists()
+        else new_sh
+    )
     verified = (
         cand.join(
-            all_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            all_sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("members").alias("mem_a"),
+            ),
             "doc_a",
         )
         .join(
-            all_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            all_sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("members").alias("mem_b"),
+            ),
             "doc_b",
         )
         .withColumn(
@@ -269,15 +308,40 @@ def _lsh_process_batch(
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("mem_a", "mem_b", "jaccard")
     )
-    got = verified.persist()
+    # expand canonical pairs through both sides' members (batch-pipeline
+    # expansion), plus this batch's intra-group 1.0 pairs; cross-batch
+    # intra pairs come from the canonical-vs-canonical 1.0 collision
+    cross = (
+        verified.select(F.explode("mem_a").alias("ma"), "mem_b", "jaccard")
+        .select("ma", F.explode("mem_b").alias("mb"), "jaccard")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        sigs.filter((F.size("shingles") > 0) & (F.size("members") > 1))
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    got = cross.unionByName(intra).persist()
+    # per-table batch tags make every commit idempotent: a foreachBatch
+    # replay (crash before the checkpoint offset commit) re-runs this
+    # function, and un-tagged re-appends would double the index rows —
+    # inflating hot-bucket occupancy so the cap fires at half the real
+    # flood size (pairs-on-read dedup only covers the pair table)
+    btag = f"b{batch_id}"
     if got.count() > 0:
-        pairs_t.append(got)
+        pairs_t.append(got, tag=btag)
     # commit the batch into the index LAST: a replayed batch then
     # re-probes against the same pre-batch index state
-    bands_t.append(new_bands)
-    shingles_t.append(sigs.select("doc_id", "shingles"))
+    bands_t.append(new_bands, tag=btag)
+    shingles_t.append(new_sh, tag=btag)
     if compact_every and (batch_id + 1) % compact_every == 0:
         # fold the per-batch segments into one (reads otherwise
         # union one scan per micro-batch ever ingested), then drop
@@ -357,44 +421,43 @@ def run_streaming_duplicate_clusters(
             F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash"),
             F.col("doc_id").cast("long").alias("doc_id"),
         )
-        groups_t.append(hashed)
+        groups_t.append(hashed, tag=f"b{batch_id}")
 
-        # driver union-find over the committed evidence (≤1M-edge regime;
-        # the same adaptive boundary as the batch operator)
-        parent: dict[int, int] = {}
+        # driver union-find over the committed evidence (≤1M-edge
+        # regime, same label rule as the batch operator — shared helper)
+        from ..operators.dedup import union_find_labels
 
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
+        def _edges():
+            exact = (
+                groups_t.read(spark)
+                .groupBy("text_hash")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+                .filter(F.size("members") > 1)
+                .select("members")
+            )
+            for row in exact.collect():
+                m = row["members"]
+                for x in m[1:]:
+                    yield m[0], x
+            if tables["pairs"].exists():
+                for row in (
+                    tables["pairs"].read(spark).select("doc_a", "doc_b").collect()
+                ):
+                    yield row["doc_a"], row["doc_b"]
 
-        def union(a: int, b: int) -> None:
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-
-        exact = groups_t.read(spark).groupBy("text_hash").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("members")
-        ).filter(F.size("members") > 1).select("members")
-        for row in exact.collect():
-            m = row["members"]
-            for x in m[1:]:
-                union(m[0], x)
-        if tables["pairs"].exists():
-            for row in tables["pairs"].read(spark).select("doc_a", "doc_b").collect():
-                union(row["doc_a"], row["doc_b"])
-        rows = sorted((x, find(x)) for x in parent)
+        rows = union_find_labels(_edges())
         clusters_t.overwrite(
             spark.createDataFrame(rows, "doc_id long, cluster_id long")
             if rows
             else spark.createDataFrame([], "doc_id long, cluster_id long")
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # groups accumulates one segment per batch like the LSH
+            # stores; clusters is a fresh overwrite whose superseded
+            # snapshots would otherwise pile up on disk forever
+            groups_t.compact(spark)
+            groups_t.expire_snapshots(keep_last=1)
+            clusters_t.expire_snapshots(keep_last=1)
 
     q = (
         stream.writeStream.foreachBatch(_process)

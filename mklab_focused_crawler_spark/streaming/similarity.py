@@ -64,8 +64,15 @@ def run_streaming_ivf_ingest(
             "q",
             "n2",
             F.get(_ivf_ranked_lists(F.col("q"), centroids), 0).alias("list_id"),
-        )
-        index.append(assigned)
+        ).persist()
+        # empty guard: a 0-row write to a partitioned table creates a
+        # data dir with no parquet files, and every later per-dir union
+        # read would fail schema inference. Tag = replay idempotence
+        # (an untagged re-append would duplicate vectors and let the
+        # same neighbor occupy two top-k ranks).
+        if assigned.count() > 0:
+            index.append(assigned, tag=f"b{batch_id}")
+        assigned.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             # fold per-batch segments into one partitioned segment and
             # drop superseded history (see streaming/dedup.py rationale)

@@ -432,3 +432,61 @@ def test_streaming_duplicate_clusters_match_batch(spark, tmp_path):
         for r in duplicate_clusters(spark, corpus).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_lsh_flood_pre_collapse(spark, tmp_path):
+    """An exact-duplicate boilerplate flood inside one micro-batch must
+    pre-collapse to a single banded canonical (no hot bucket fires even
+    at a tiny forced cap) while the expanded pair store still carries
+    the complete C(n,2) pair set at jaccard 1.0 — the streaming twin of
+    tests/test_lsh_recall.py::test_exact_flood_pre_collapse."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        read_streaming_lsh_pairs,
+        run_streaming_lsh_dedup,
+    )
+
+    n = 300
+    pdf = pd.DataFrame(
+        {"doc_id": range(n), "text": ["the same boilerplate page body"] * n}
+    )
+    in_dir = tmp_path / "in_flood"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(in_dir / "batch.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "flood_store")
+    tables = run_streaming_lsh_dedup(
+        stream, store, str(tmp_path / "ckpt_flood"), bucket_cap=50
+    )
+    assert not tables["hot"].exists()  # cap never fired: 1 canonical/bucket
+    pairs = read_streaming_lsh_pairs(spark, store)
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.filter(F.col("jaccard") != 1.0).count() == 0
+
+
+def test_snapshot_append_tag_is_idempotent(spark, tmp_path):
+    """A replayed tagged append (foreachBatch at-least-once) is a no-op;
+    tags survive compaction and expiry."""
+    from mklab_focused_crawler_spark.storage.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "tagged")
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    t.append(df, tag="b0")
+    t.append(df, tag="b0")  # replay: must not double rows
+    assert t.read(spark).count() == 2
+    t.compact(spark)
+    t.expire_snapshots(keep_last=1)
+    t.append(df, tag="b0")  # still remembered after compact+expire
+    assert t.read(spark).count() == 2
+    t.append(df, tag="b1")  # a genuinely new batch appends
+    assert t.read(spark).count() == 4
