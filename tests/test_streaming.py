@@ -490,3 +490,58 @@ def test_snapshot_append_tag_is_idempotent(spark, tmp_path):
     assert t.read(spark).count() == 2
     t.append(df, tag="b1")  # a genuinely new batch appends
     assert t.read(spark).count() == 4
+
+
+def test_streaming_lsh_replay_batch_is_idempotent(spark, tmp_path):
+    """Re-processing an already-committed micro-batch (foreachBatch
+    at-least-once replay after a crash-before-checkpoint) must leave
+    every store unchanged — the per-batch tags make the index commits
+    no-ops and the recomputed pairs carry an already-seen tag."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.operators.dedup import (
+        DUP_OFFSET,
+        augment_corpus,
+    )
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        _lsh_process_batch,
+        _make_lsh_tables,
+        run_streaming_lsh_dedup,
+    )
+
+    corpus = augment_corpus(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    in_dir = tmp_path / "in_replay"
+    in_dir.mkdir()
+    pdf = corpus.toPandas()
+    parts = [pdf[pdf.doc_id >= DUP_OFFSET], pdf[pdf.doc_id < DUP_OFFSET]]
+    for i, part in enumerate(parts):
+        p = in_dir / f"batch_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), str(p))
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "replay_store")
+    tables = run_streaming_lsh_dedup(stream, store, str(tmp_path / "ckpt_replay"))
+
+    before = {
+        name: t.read(spark).count()
+        for name, t in tables.items()
+        if t.exists()
+    }
+    # replay micro-batch 1 (the originals file) against the same stores
+    replay_df = spark.createDataFrame(parts[1], "doc_id long, text string")
+    _lsh_process_batch(
+        replay_df, 1, _make_lsh_tables(store), None, None, spark
+    )
+    after = {
+        name: t.read(spark).count()
+        for name, t in _make_lsh_tables(store).items()
+        if t.exists()
+    }
+    assert after == before
