@@ -104,34 +104,60 @@ class IcebergTable(VersionedTable):
             self._create_if_absent(df)
         return self.current_snapshot() or 0
 
-    def append(self, df: DataFrame, tag: str | None = None) -> int:
-        if tag is not None and self.exists():
-            # idempotence ledger as a table property (comma-joined set);
-            # a snapshot summary property would be per-commit — the
-            # table property survives compaction/expiry like the
-            # stand-in's manifest tag set
-            props = {
-                r["key"]: r["value"]
-                for r in self.spark.sql(
-                    f"SHOW TBLPROPERTIES {self.identifier}"
-                ).collect()
-            }
-            tags = set(filter(None, props.get("vt.tags", "").split(",")))
-            if tag in tags:
-                return self.current_snapshot() or 0
+    def _property_tags(self) -> set:
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self.identifier}"
+            ).collect()
+        }
+        return set(filter(None, props.get("vt.tags", "").split(",")))
+
+    def has_tag(self, tag: str) -> bool:
+        """Source of truth is the per-commit snapshot summary property
+        (``vt.tag``) — it commits ATOMICALLY with the append's data, so
+        a crash can never leave rows in without their tag. The
+        cumulative ``vt.tags`` table property is consulted second, as a
+        cache for tags whose snapshots have been expired."""
         if not self.exists():
-            self._create_if_absent(df)
+            return False
+        n = self.spark.sql(
+            f"SELECT count(*) AS n FROM {self.identifier}.snapshots "
+            f"WHERE summary['vt.tag'] = '{tag}'"
+        ).collect()[0]["n"]
+        return bool(n) or tag in self._property_tags()
+
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
+        """Tagged appends stamp the tag INTO the append commit itself
+        (snapshot summary property via ``writeTo().option(
+        "snapshot-property.vt.tag", tag)``) so tag and data commit
+        atomically — a post-append ALTER TABLE would let a crash between
+        the two commits leave the rows in but the tag unrecorded, and
+        the foreachBatch replay would double the batch. The cumulative
+        ``vt.tags`` table property is kept only as a post-expiry cache;
+        losing it on a crash is safe (the summary already has the tag).
+        Retention: that property grows one entry per micro-batch — prune
+        entries older than the streaming checkpoint's committed offset
+        horizon (those batches can never be replayed); the engine never
+        reads tags older than that."""
+        if tag is not None and self.has_tag(tag):
+            return self.current_snapshot() or 0
+        if not self.exists():
+            w = df.writeTo(self.identifier)
+            if tag is not None:
+                w = w.option("snapshot-property.vt.tag", tag)
+            if self.partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in self.partition_by])
+            w.create()
         else:
-            df.writeTo(self.identifier).append()
+            w = df.writeTo(self.identifier)
+            if tag is not None:
+                w = w.option("snapshot-property.vt.tag", tag)
+            w.append()
         if tag is not None:
-            props = {
-                r["key"]: r["value"]
-                for r in self.spark.sql(
-                    f"SHOW TBLPROPERTIES {self.identifier}"
-                ).collect()
-            }
-            tags = set(filter(None, props.get("vt.tags", "").split(",")))
-            tags.add(tag)
+            tags = self._property_tags() | {tag}
             self.spark.sql(
                 f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
                 f"('vt.tags' = '{','.join(sorted(tags))}')"
@@ -148,6 +174,17 @@ class IcebergTable(VersionedTable):
         if snapshot is None:
             return spark.read.table(self.identifier)
         return spark.read.option("snapshot-id", snapshot).table(self.identifier)
+
+    def read_partitions(
+        self, spark: SparkSession, col: str, values: list
+    ) -> DataFrame | None:
+        """Iceberg prunes manifests natively from a partition-column
+        filter — no directory surgery needed."""
+        if not self.exists():
+            return None
+        from pyspark.sql import functions as F
+
+        return self.read(spark).filter(F.col(col).isin(list(values)))
 
     def read_appended(self, spark: SparkSession, snapshot: int) -> DataFrame:
         [row] = (

@@ -15,10 +15,11 @@ implementations exist:
   a rewrite).
 
 The operation set is the closed union of what the engine actually
-calls (grep-audited): exists/overwrite/append/append_arrow/read/
-read_appended/replace_partitions/merge/merge_if_absent/rollback_to/
-drop + current_snapshot. tests/test_storage_seam.py pins that audit —
-adding a call site with a new method must extend the interface first.
+calls (grep-audited): exists/overwrite/append/has_tag/append_arrow/
+read/read_partitions/read_appended/replace_partitions/merge/
+merge_if_absent/rollback_to/drop + current_snapshot.
+tests/test_storage_seam.py pins that audit — adding a call site with a
+new method must extend the interface first.
 """
 
 from __future__ import annotations
@@ -39,9 +40,14 @@ class VersionedTable(abc.ABC):
     current_snapshot     table.currentSnapshot().snapshotId()
     exists               catalog.tableExists(ident)
     overwrite            INSERT OVERWRITE (full) / CREATE OR REPLACE
-    append               append snapshot (df.writeTo(t).append())
+    append               append snapshot (df.writeTo(t).append(),
+                         tag via snapshot-property option on the same
+                         commit)
+    has_tag              snapshots-metadata summary lookup
     append_arrow         same append; small driver-local batch
     read                 SELECT ... [VERSION AS OF <snapshot>]
+    read_partitions      read + partition-column IN filter
+                         (manifest-level partition pruning)
     read_appended        incremental scan (start-snapshot-id = parent)
     replace_partitions   dynamic partition overwrite
                          (writeTo(t).overwritePartitions())
@@ -68,8 +74,23 @@ class VersionedTable(abc.ABC):
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Add rows. ``tag`` makes the append idempotent for
         at-least-once writers: a tag the table has already committed is
-        a no-op (Iceberg: a snapshot summary property checked before
-        writeTo().append())."""
+        a no-op. The tag must commit ATOMICALLY with the data — Iceberg:
+        a snapshot summary property stamped onto the append commit
+        itself (``writeTo().option("snapshot-property.vt.tag", tag)``),
+        checked against committed snapshots' summaries; the stand-in
+        records it on the same manifest the commit flips to. A separate
+        post-append tag commit would let a crash between the two leave
+        the rows in but the tag unrecorded, so the replay doubles the
+        batch. Retention: a tag whose micro-batch the streaming
+        checkpoint has already committed can never be replayed — ledgers
+        may prune tags older than the checkpoint's offset horizon."""
+
+    @abc.abstractmethod
+    def has_tag(self, tag: str) -> bool:
+        """Whether an append carrying ``tag`` has already committed —
+        lets an at-least-once writer distinguish a replayed batch BEFORE
+        recomputing derived state from it (e.g. not double-counting the
+        batch's rows in an occupancy union)."""
 
     @abc.abstractmethod
     def append_arrow(self, table) -> int:
@@ -77,6 +98,17 @@ class VersionedTable(abc.ABC):
 
     @abc.abstractmethod
     def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame: ...
+
+    @abc.abstractmethod
+    def read_partitions(
+        self, spark: SparkSession, col: str, values: list
+    ) -> DataFrame | None:
+        """Partition-pruned read: only the listed values of partition
+        column ``col`` are scanned — O(touched partitions), never
+        O(table). Returns ``None`` when no listed partition exists yet
+        (the caller supplies its own empty frame; the table can't know
+        the schema without scanning). Iceberg: ``read().filter(
+        col.isin(values))`` — the catalog prunes manifests natively."""
 
     @abc.abstractmethod
     def read_appended(self, spark: SparkSession, snapshot: int) -> DataFrame:

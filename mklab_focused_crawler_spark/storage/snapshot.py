@@ -125,6 +125,14 @@ class SnapshotTable(VersionedTable):
         d = self._write_data(df, nxt)
         return self._commit(files + [d], "append", (tag,) if tag else ())
 
+    def has_tag(self, tag: str) -> bool:
+        """Whether an append carrying ``tag`` already committed. Tag and
+        data commit on the SAME manifest (atomic ``os.replace``), so a
+        True here means the rows are in — an at-least-once replayer can
+        skip re-deriving state from the batch's rows without a torn
+        window between data and ledger."""
+        return tag in self._tags()
+
     @staticmethod
     def _entry_path(e) -> str:
         return e if isinstance(e, str) else e["path"]
@@ -155,6 +163,44 @@ class SnapshotTable(VersionedTable):
             if not isinstance(e, str):
                 for col, values in (e.get("exclude") or {}).items():
                     df = df.filter(~F.col(col).isin(values))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def read_partitions(
+        self, spark: SparkSession, col: str, values: list
+    ) -> DataFrame | None:
+        """Partition-pruned read: only partition directories
+        ``<col>=<value>`` of the single partition column are scanned —
+        O(touched partitions), never O(table). This is what makes a
+        SnapshotTable usable AS AN INDEX: a streaming probe against a
+        key-bucketed band store reads the probed buckets' files, not the
+        accumulated history (the Iceberg equivalent is a partition-
+        column IN filter pruned at manifest level). Returns ``None``
+        when no listed partition exists yet. Merge-on-read exclusion
+        entries are honored (exclusions are on partition columns, so an
+        excluded value simply skips that file's directory)."""
+        assert self.partition_by == (col,), (
+            f"read_partitions prunes on the table's partition column "
+            f"{self.partition_by}, got {col!r}"
+        )
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        out = None
+        wanted = {str(v) for v in values}
+        for e in self._manifest(snap)["files"]:
+            path = self._entry_path(e)
+            excluded = set()
+            if not isinstance(e, str):
+                excluded = {str(v) for v in (e.get("exclude") or {}).get(col, [])}
+            dirs = [
+                os.path.join(path, f"{col}={v}")
+                for v in sorted(wanted - excluded)
+                if os.path.isdir(os.path.join(path, f"{col}={v}"))
+            ]
+            if not dirs:
+                continue
+            df = spark.read.option("basePath", path).parquet(*dirs)
             out = df if out is None else out.unionByName(df)
         return out
 

@@ -134,3 +134,35 @@ def test_compact_and_expire(spark, tmp_path):
     assert {(r["x"], r["b"]) for r in t.read(spark).collect()} == before
     with _pytest.raises(FileNotFoundError):
         t.read(spark, snapshot=1)
+
+
+def test_read_partitions_prunes_to_touched_dirs(spark, tmp_path):
+    """read_partitions scans ONLY the listed partitions' files — the
+    property that turns a key-bucketed SnapshotTable into an index
+    (probe cost ∝ probed buckets, not accumulated history)."""
+    t = SnapshotTable(str(tmp_path), "bidx", partition_by=("b",))
+    t.append(spark.createDataFrame([(1, 0), (2, 1), (3, 2)], "x long, b int"))
+    t.append(spark.createDataFrame([(4, 1), (5, 3)], "x long, b int"))
+
+    got = t.read_partitions(spark, "b", [1])
+    assert {(r["x"], r["b"]) for r in got.collect()} == {(2, 1), (4, 1)}
+    # the scan's file set is exactly the touched partition dirs
+    assert all("b=1" in f for f in got.inputFiles())
+    # missing partitions are skipped, absent-only requests return None
+    got2 = t.read_partitions(spark, "b", [2, 7])
+    assert {(r["x"], r["b"]) for r in got2.collect()} == {(3, 2)}
+    assert t.read_partitions(spark, "b", [7]) is None
+    assert SnapshotTable(str(tmp_path), "nope", partition_by=("b",)).read_partitions(
+        spark, "b", [1]
+    ) is None
+
+
+def test_has_tag_matches_append_ledger(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "tags")
+    df = spark.createDataFrame([(1,)], "x long")
+    assert not t.has_tag("b0")
+    t.append(df, tag="b0")
+    assert t.has_tag("b0") and not t.has_tag("b1")
+    t.compact(spark)
+    t.expire_snapshots(keep_last=1)
+    assert t.has_tag("b0")  # tags survive maintenance
