@@ -115,12 +115,20 @@ def run_streaming_lsh_dedup(
     DataFrame plans per micro-batch; same commit-then-reread pattern as
     the crawl loop's docs table):
 
-    - ``lsh_bands`` (SnapshotTable): the INDEX — (doc_id, band_idx,
-      band_key), appended per batch. Persisting the banded form means
-      old docs are never re-signed and never re-banded; a batch probes
-      it with one equi-join on the 8-byte key.
-    - ``lsh_shingles`` (SnapshotTable): (doc_id, shingles) for the
-      exact verify stage — only candidate pairs ever load shingles.
+    - ``lsh_bands`` (SnapshotTable, PARTITIONED by ``key_bucket =
+      pmod(band_key, LSH_KEY_BUCKETS)``): the INDEX — (doc_id, band_idx,
+      band_key, key_bucket), appended per batch. Persisting the banded
+      form means old docs are never re-signed and never re-banded, and
+      the bucket partitioning means a batch probes ONLY the buckets its
+      own band keys touch (``read_partitions``) — per-batch index IO is
+      ∝ touched buckets, never ∝ the accumulated index. This is the
+      storage-layout-is-the-index pattern the streaming IVF store
+      already uses (the reference's external visual index amortized
+      exactly this, VisualIndexerBolt.java:167).
+    - ``lsh_shingles`` (SnapshotTable, PARTITIONED by ``doc_bucket =
+      pmod(doc_id, LSH_KEY_BUCKETS)``): (doc_id, shingles, members) for
+      the exact verify stage — only the candidate pairs' doc buckets are
+      ever read.
     - ``lsh_pairs`` (SnapshotTable): verified (doc_a, doc_b, jaccard)
       appended per batch. A pair emits exactly when its LATER side
       arrives, so each pair appends once; a replayed micro-batch
@@ -128,26 +136,29 @@ def run_streaming_lsh_dedup(
       :func:`read_streaming_lsh_pairs`, which dedups.
     - ``lsh_hot`` (SnapshotTable): per-batch dropped hot buckets
       (band_idx, band_key, bn) — the no-silent-caps ledger. NOTE the
-      semantic difference from batch: the guard sees each bucket's
-      occupancy AS OF the batch, so pairs emitted before a bucket went
-      hot stay emitted (batch drops the bucket whole).
+      semantic difference from batch (pinned by
+      tests/test_streaming.py::test_streaming_hot_cap_contract): the
+      guard sees each bucket's occupancy AS OF the batch, so pairs
+      emitted before a bucket went hot stay emitted (batch drops the
+      bucket whole).
 
     Output equivalence (asserted in tests): with the cap never firing,
     the deduped pair store over any micro-batch split of a corpus
     equals batch ``lsh_pairs`` on the whole corpus — a pair (a, b) is
     found iff ≥1 band key matches and exact Jaccard ≥ threshold, and
     both conditions are arrival-order independent because the index
-    always holds every earlier doc's bands.
+    always holds every earlier doc's bands. Occupancy (the hot guard) is
+    computed over the touched buckets only — identical to the full
+    groupBy for those keys, and untouched keys can't produce candidates
+    or change occupancy this batch.
 
-    Scale note: the probe equi-join and the hot-bucket occupancy count
-    scan the band index once per micro-batch (shuffled on the band
-    key). At 10^10 docs the index side should be a band-key-bucketed
-    table so the probe becomes a storage-partitioned join (the crawl
-    loop's fetch_join="bucketed" pattern) and the occupancy count a
-    per-bucket metadata lookup; the parquet-manifest stand-in has no
-    bucketed-write surface (needs a metastore), so that wiring lands
-    with the Iceberg adapter. Amortization is the other lever: batch
-    size controls how often the index is scanned.
+    Scale note: band keys are uniform hashes, so a batch with ≫
+    LSH_KEY_BUCKETS band rows touches every bucket; the pruning wins
+    when batches are small relative to the bucket count. Size
+    ``key_buckets`` so a typical micro-batch touches a fraction of them
+    (10^10-doc deployment: 2^16-2^20 buckets vs ~10^4-doc batches). The
+    periodic ``compact_every`` maintenance still rewrites the whole
+    store — amortized, not per-batch.
 
     Returns {"pairs": ..., "bands": ..., "shingles": ..., "hot": ...}
     (the SnapshotTable handles)."""
@@ -169,12 +180,21 @@ def run_streaming_lsh_dedup(
     return tables
 
 
+# Bucket count for the band-key and doc-id partitionings of the
+# streaming index stores. Sized for the fixtures/tests here; a 10^10-doc
+# deployment raises it (2^16-2^20) so a micro-batch touches a fraction
+# of the buckets — the pruning ratio is touched/total.
+LSH_KEY_BUCKETS = 64
+
+
 def _make_lsh_tables(store_root: str) -> dict:
     from ..storage.snapshot import SnapshotTable
 
     return {
-        "bands": SnapshotTable(store_root, "lsh_bands"),
-        "shingles": SnapshotTable(store_root, "lsh_shingles"),
+        "bands": SnapshotTable(store_root, "lsh_bands", partition_by=("key_bucket",)),
+        "shingles": SnapshotTable(
+            store_root, "lsh_shingles", partition_by=("doc_bucket",)
+        ),
         "pairs": SnapshotTable(store_root, "lsh_pairs"),
         "hot": SnapshotTable(store_root, "lsh_hot"),
     }
@@ -187,7 +207,10 @@ def _lsh_process_batch(
     bucket_cap: int | None,
     compact_every: int | None,
     spark,
-) -> None:
+    *,
+    key_buckets: int = LSH_KEY_BUCKETS,
+    collect_pairs: bool = False,
+) -> dict:
     """One micro-batch of the incremental LSH pipeline (see
     run_streaming_lsh_dedup for the architecture).
 
@@ -205,7 +228,24 @@ def _lsh_process_batch(
     canonical); their identical signatures collide on every band, so
     the cross-batch 1.0 pairs and all inherited near-pairs are emitted,
     and occupancy grows with B (bounded by batch count, not group
-    size)."""
+    size).
+
+    Index IO is partition-pruned: the band probe, the occupancy count
+    and the shingle verify read ONLY the partitions (band-key buckets /
+    doc buckets) this batch touches — per-batch work ∝ the batch's
+    candidate surface, never ∝ the accumulated index.
+
+    Replay safety (at-least-once foreachBatch): every commit carries the
+    batch tag; and if the band (shingle) store ALREADY carries this
+    batch's tag — a crash landed between the pairs and index commits —
+    the batch's rows are not unioned in again, so occupancy can't double
+    and the hot cap can't fire at half the real flood size.
+
+    Returns per-batch stats for callers/tests: ``touched_key_buckets``,
+    ``probe_files`` (the pruned band-index file list actually scanned),
+    and ``new_pairs`` (the batch's verified pairs as driver rows, only
+    when ``collect_pairs`` — the streaming clusters op folds exactly
+    these into its incremental union-find)."""
     from ..functions.text import ascii_lower as _ascii_lower
     from ..operators.dedup import (
         JACCARD_THRESHOLD,
@@ -217,6 +257,8 @@ def _lsh_process_batch(
     cap = LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
     bands_t, shingles_t = tables["bands"], tables["shingles"]
     pairs_t, hot_t = tables["pairs"], tables["hot"]
+    btag = f"b{batch_id}"
+    stats = {"touched_key_buckets": 0, "probe_files": [], "new_pairs": None}
     corpus = batch_df.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
@@ -232,26 +274,51 @@ def _lsh_process_batch(
     sigs = minhash_signatures(canon, carry=("members",)).persist()
     if sigs.count() == 0:
         sigs.unpersist()
-        return
-    new_bands = band_rows(sigs).persist()
-    new_bands.count()
-
-    old_bands = (
-        bands_t.read(spark)
-        if bands_t.exists()
-        else spark.createDataFrame([], "doc_id long, band_idx int, band_key long")
+        return stats
+    new_bands = (
+        band_rows(sigs)
+        .withColumn(
+            "key_bucket", F.pmod(F.col("band_key"), F.lit(key_buckets)).cast("int")
+        )
+        .persist()
     )
-    all_bands = old_bands.unionByName(new_bands)
-    # hot-bucket guard on combined occupancy as of this batch
+    n_new_bands = new_bands.count()
+    touched = (
+        [r[0] for r in new_bands.select("key_bucket").distinct().collect()]
+        if n_new_bands
+        else []
+    )
+    stats["touched_key_buckets"] = len(touched)
+
+    # pruned index read: ONLY this batch's buckets' partition dirs
+    old_touched = (
+        bands_t.read_partitions(spark, "key_bucket", touched)
+        if (touched and bands_t.exists())
+        else None
+    )
+    if old_touched is not None:
+        stats["probe_files"] = list(old_touched.inputFiles())
+    if bands_t.exists() and bands_t.has_tag(btag):
+        # replay after the index commit: the store already holds this
+        # batch's band rows — unioning new_bands again would double
+        # occupancy for its buckets (spurious hot-cap fires)
+        all_bands = old_touched
+    elif old_touched is None:
+        all_bands = new_bands
+    else:
+        all_bands = old_touched.unionByName(new_bands)
+    # hot-bucket guard on combined occupancy as of this batch, over the
+    # touched buckets only — identical to the full groupBy for these
+    # keys, and untouched keys can't change occupancy or be probed
     hot = (
         all_bands.groupBy("band_idx", "band_key")
         .agg(F.count(F.lit(1)).alias("bn"))
         .filter(F.col("bn") > cap)
         .persist()
-    )
-    if hot.count() > 0:
+    ) if n_new_bands else None
+    if hot is not None and hot.count() > 0:
         hot_t.append(
-            hot.withColumn("batch_id", F.lit(batch_id)), tag=f"b{batch_id}"
+            hot.withColumn("batch_id", F.lit(batch_id)), tag=btag
         )
         guard = F.broadcast(hot.select("band_idx", "band_key"))
         new_probe = new_bands.join(guard, ["band_idx", "band_key"], "left_anti")
@@ -264,24 +331,56 @@ def _lsh_process_batch(
     # pairs appear from both sides; least/greatest + dropDuplicates
     # collapses them)
     cand = (
-        new_probe.select(F.col("doc_id").alias("doc_n"), "band_idx", "band_key")
-        .join(
-            all_side.select(F.col("doc_id").alias("doc_o"), "band_idx", "band_key"),
-            ["band_idx", "band_key"],
+        (
+            new_probe.select(F.col("doc_id").alias("doc_n"), "band_idx", "band_key")
+            .join(
+                all_side.select(
+                    F.col("doc_id").alias("doc_o"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .filter(F.col("doc_n") != F.col("doc_o"))
+            .select(
+                F.least("doc_n", "doc_o").alias("doc_a"),
+                F.greatest("doc_n", "doc_o").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .filter(F.col("doc_n") != F.col("doc_o"))
-        .select(
-            F.least("doc_n", "doc_o").alias("doc_a"),
-            F.greatest("doc_n", "doc_o").alias("doc_b"),
+        if n_new_bands
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    ).persist()
+    new_sh = sigs.select(
+        "doc_id",
+        "shingles",
+        "members",
+        F.pmod(F.col("doc_id"), F.lit(key_buckets)).cast("int").alias("doc_bucket"),
+    )
+    # shingle lookups are keyed by candidate doc_id: read only the
+    # candidates' doc-bucket partitions, not the whole shingle store
+    cand_buckets = [
+        r[0]
+        for r in cand.select(
+            F.explode(
+                F.array(
+                    F.pmod(F.col("doc_a"), F.lit(key_buckets)).cast("int"),
+                    F.pmod(F.col("doc_b"), F.lit(key_buckets)).cast("int"),
+                )
+            ).alias("b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
+        .collect()
+    ]
+    old_sh = (
+        shingles_t.read_partitions(spark, "doc_bucket", cand_buckets)
+        if (cand_buckets and shingles_t.exists())
+        else None
     )
-    new_sh = sigs.select("doc_id", "shingles", "members")
-    all_sh = (
-        shingles_t.read(spark).unionByName(new_sh)
-        if shingles_t.exists()
-        else new_sh
-    )
+    if shingles_t.exists() and shingles_t.has_tag(btag):
+        all_sh = old_sh if old_sh is not None else new_sh
+    elif old_sh is None:
+        all_sh = new_sh
+    else:
+        all_sh = old_sh.unionByName(new_sh)
     verified = (
         cand.join(
             all_sh.select(
@@ -335,23 +434,35 @@ def _lsh_process_batch(
     # function, and un-tagged re-appends would double the index rows —
     # inflating hot-bucket occupancy so the cap fires at half the real
     # flood size (pairs-on-read dedup only covers the pair table)
-    btag = f"b{batch_id}"
-    if got.count() > 0:
+    if collect_pairs:
+        rows = got.select("doc_a", "doc_b").collect()
+        stats["new_pairs"] = [(r["doc_a"], r["doc_b"]) for r in rows]
+        n_got = len(rows)
+    else:
+        n_got = got.count()
+    if n_got > 0:
         pairs_t.append(got, tag=btag)
     # commit the batch into the index LAST: a replayed batch then
-    # re-probes against the same pre-batch index state
-    bands_t.append(new_bands, tag=btag)
+    # re-probes against the same pre-batch index state. Never append a
+    # 0-row frame to a partitioned table (a parquet-less partition dir
+    # breaks every later per-dir read).
+    if n_new_bands > 0:
+        bands_t.append(new_bands, tag=btag)
     shingles_t.append(new_sh, tag=btag)
     if compact_every and (batch_id + 1) % compact_every == 0:
-        # fold the per-batch segments into one (reads otherwise
-        # union one scan per micro-batch ever ingested), then drop
-        # the superseded history — an ingestion index doesn't need
-        # time travel to its intermediate states
+        # fold the per-batch segments into one partitioned segment
+        # (reads otherwise union one scan per micro-batch ever
+        # ingested), then drop the superseded history — an ingestion
+        # index doesn't need time travel to its intermediate states.
+        # This is the amortized O(index) maintenance pass; everything
+        # per-batch above is partition-pruned.
         for t in (bands_t, shingles_t):
             t.compact(spark)
             t.expire_snapshots(keep_last=1)
-    for h in (sigs, new_bands, hot, got):
-        h.unpersist()
+    for h in (sigs, new_bands, hot, cand, got):
+        if h is not None:
+            h.unpersist()
+    return stats
 
 
 
