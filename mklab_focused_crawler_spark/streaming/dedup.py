@@ -45,52 +45,88 @@ OUTPUT_SCHEMA = "doc_id long, text_hash string, canonical_doc_id long, dup_count
 STATE_SCHEMA = "members array<bigint>"
 
 
-def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    members: set[int] = set()
-    if state.exists:
-        (ms,) = state.get
-        members = set(int(m) for m in ms)
-    new: set[int] = set()
-    for pdf in pdfs:
-        new.update(int(x) for x in pdf["doc_id"])
-    new -= members
-    if not new:
-        # pure re-delivery: state and prior emissions are already right
-        yield pd.DataFrame(
+def _make_update(ttl_ms: int | None):
+    """Closure factory (applyInPandasWithState's function arity is
+    fixed, so the TTL rides the closure, not a default arg)."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
             [], columns=["doc_id", "text_hash", "canonical_doc_id", "dup_count"]
         )
-        return
-    members |= new
-    state.update((sorted(members),))
-    canonical = min(members)
-    n = len(members)
-    # re-emit EVERY member: a new smaller doc_id retroactively changes
-    # earlier members' canonical, and dup_count grows for all of them
-    yield pd.DataFrame(
-        [(m, key[0], canonical, n) for m in sorted(members)],
-        columns=["doc_id", "text_hash", "canonical_doc_id", "dup_count"],
-    )
+        if ttl_ms is not None and state.hasTimedOut:
+            # the whole group aged out: drop it. The NEXT arrival of
+            # this content is re-admitted as a brand-new group (fresh
+            # canonical, dup_count restarting at 1) — the documented
+            # cost of the bounded-memory mode.
+            state.remove()
+            yield empty
+            return
+        members: set[int] = set()
+        if state.exists:
+            (ms,) = state.get
+            members = set(int(m) for m in ms)
+        new: set[int] = set()
+        for pdf in pdfs:
+            new.update(int(x) for x in pdf["doc_id"])
+        new -= members
+        if not new:
+            # pure re-delivery: state and prior emissions are already
+            # right — but fresh data still refreshes the TTL clock
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield empty
+            return
+        members |= new
+        state.update((sorted(members),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        canonical = min(members)
+        n = len(members)
+        # re-emit EVERY member: a new smaller doc_id retroactively
+        # changes earlier members' canonical, and dup_count grows for
+        # all of them
+        yield pd.DataFrame(
+            [(m, key[0], canonical, n) for m in sorted(members)],
+            columns=["doc_id", "text_hash", "canonical_doc_id", "dup_count"],
+        )
+
+    return _update
 
 
-def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
+def streaming_exact_dedup(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """document stream (doc_id, text) → refined dedup rows per batch.
 
     The content hash is computed JVM-side before keying (one md5 per
     row, Arrow never carries the text into Python), exactly as the
     batch twin: md5(ascii_lower(trim(text))). Null texts are dropped —
-    the dedup corpus contract (operators/dedup.augment_corpus)."""
+    the dedup corpus contract (operators/dedup.augment_corpus).
+
+    ``ttl_ms``: the bounded-memory mode for a 100 TB deployment. By
+    default state is unbounded (the batch twin has no horizon, so
+    convergence to it is exact). With a TTL, a content group whose
+    state receives no data for ``ttl_ms`` of processing time is evicted
+    at the next trigger; if the same content later re-arrives it is
+    RE-ADMITTED as a new group (fresh canonical = the new min arrival,
+    dup_count restarting) — state memory becomes O(distinct content
+    within the TTL horizon) instead of O(corpus). Semantics pinned by
+    tests/test_streaming.py::test_streaming_exact_dedup_ttl_readmission.
+    """
     hashed = stream.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash"),
     )
     return hashed.groupBy("text_hash").applyInPandasWithState(
-        _update,
+        _make_update(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -482,12 +518,70 @@ def read_streaming_lsh_pairs(spark, store_root: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+class _IncrementalUnionFind:
+    """Driver-resident union-find with min-id component labels and
+    changed-label tracking — the incremental state behind streaming
+    duplicate clusters. Folding an edge set is monotone (labels only
+    ever decrease, components only merge), so re-folding a replayed
+    batch is a no-op and the per-batch persisted delta is exactly the
+    rows whose labels changed. Memory is O(nodes in dup relations) —
+    the same ≤1M-edge driver regime as the batch operator; beyond it
+    the caller switches to distributed min-label propagation."""
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+        self.members: dict[int, set[int]] = {}  # root -> component docs
+        self.n_edges = 0
+
+    def find(self, x: int) -> int:
+        r = x
+        p = self.parent
+        while p[r] != r:
+            r = p[r]
+        while p[x] != r:
+            p[x], x = r, p[x]
+        return r
+
+    def load(self, rows) -> None:
+        """Rebuild from persisted (doc_id, cluster_id) rows — run once
+        per process start, never per batch."""
+        for doc, label in rows:
+            self.parent[doc] = label
+            self.parent.setdefault(label, label)
+            self.members.setdefault(label, set()).update((doc, label))
+
+    def add_edges(self, edges) -> dict[int, int]:
+        """Fold (a, b) edges; return {doc_id: new_label} for every doc
+        whose label changed or that newly entered a component — the
+        upsert delta, ∝ the merged components, never ∝ the graph."""
+        delta: dict[int, int] = {}
+        for a, b in edges:
+            self.n_edges += 1
+            for x in (a, b):
+                if x not in self.parent:
+                    self.parent[x] = x
+                    self.members[x] = {x}
+                    delta[x] = x
+            ra, rb = self.find(a), self.find(b)
+            if ra == rb:
+                continue
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+            moved = self.members.pop(hi)
+            self.members[lo] |= moved
+            for d in moved:
+                delta[d] = lo
+        return delta
+
+
 def run_streaming_duplicate_clusters(
     stream: DataFrame,
     store_root: str,
     checkpoint_dir: str,
     bucket_cap: int | None = None,
     compact_every: int | None = None,
+    driver_edge_limit: int = 1_000_000,
+    stats_out: list | None = None,
 ) -> dict:
     """Cluster ids AT INGESTION — the streaming twin of
     ``operators/dedup.duplicate_clusters``, completing the trio
@@ -503,72 +597,56 @@ def run_streaming_duplicate_clusters(
       because empty-shingle exact duplicates never reach the band index
       (they can't verify ≥ the Jaccard gate) yet DO cluster; the batch
       operator gets them from its members arrays.
-    - ``clusters`` (SnapshotTable): the full (doc_id, cluster_id) table,
-      OVERWRITTEN per batch from a driver-side union-find — the same
-      scale regime as the batch operator's ≤1M-edge driver path, and
-      the same deterministic min-doc_id labels. Labels only ever
-      decrease as components merge (monotone refine); the final table
-      equals batch ``duplicate_clusters`` over the union of batches.
+    - ``clusters`` (SnapshotTable, PARTITIONED by ``doc_bucket``): the
+      persisted union-find label table (doc_id, cluster_id), updated
+      per batch by a partition-scoped MERGE of ONLY the rows whose
+      labels changed. Labels are the batch operator's deterministic
+      min-doc_id rule and only ever decrease (monotone refine); after
+      the last batch the table equals batch ``duplicate_clusters`` over
+      the union of batches.
 
-    The union-find is reconstructed from the committed edge evidence at
-    each batch (edges = near pairs ∪ exact-group stars), so a replayed
-    micro-batch converges to the same table — at-least-once appends,
-    deterministic overwrite. Beyond the driver regime (>1M edges) the
-    batch operator's distributed min-label propagation is the intended
-    path, run as a periodic batch job over the same committed stores.
+    INCREMENTAL (VERDICT r3 item 2): per batch, only the batch's NEW
+    edges — its collected verified pairs plus its content-group star
+    edges — fold into a driver-resident union-find; driver rows touched
+    per batch are ∝ those new edges (plus the changed-label delta),
+    never ∝ the accumulated evidence. The in-memory state rebuilds from
+    the persisted tables once per process start. Replay is idempotent:
+    folding an already-folded batch changes no labels, so the delta is
+    empty and no commit happens.
+
+    Beyond ``driver_edge_limit`` folded edges the op switches to the
+    distributed regime: per batch it rebuilds the label table with the
+    batch operator's shared ``min_label_propagation`` over the committed
+    stores (executor-side only — no driver graph). That pass is
+    O(evidence) per batch; a 10^10-scale deployment runs it on a longer
+    cadence than the pair pipeline (trigger interval or every-N
+    batches), which is a latency knob, not a correctness one — labels
+    are monotone either way.
+
+    ``stats_out``: optional list; per batch a dict with
+    ``driver_rows`` (hashed batch rows + collected pairs + emitted
+    delta) and ``mode`` is appended — the scale contract tests pin it.
     """
     from ..storage.snapshot import SnapshotTable
 
     tables = _make_lsh_tables(store_root)
     groups_t = SnapshotTable(store_root, "content_groups")
-    clusters_t = SnapshotTable(store_root, "clusters")
+    clusters_t = SnapshotTable(store_root, "clusters", partition_by=("doc_bucket",))
+    state: dict = {"uf": None, "canon": None, "distributed": False}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        _lsh_process_batch(
-            batch_df, batch_id, tables, bucket_cap, compact_every, spark
+        _clusters_process_batch(
+            batch_df,
+            batch_id,
+            tables,
+            groups_t,
+            clusters_t,
+            state,
+            bucket_cap,
+            compact_every,
+            driver_edge_limit,
+            stats_out,
         )
-        hashed = batch_df.filter(F.col("text").isNotNull()).select(
-            F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-        )
-        groups_t.append(hashed, tag=f"b{batch_id}")
-
-        # driver union-find over the committed evidence (≤1M-edge
-        # regime, same label rule as the batch operator — shared helper)
-        from ..operators.dedup import union_find_labels
-
-        def _edges():
-            exact = (
-                groups_t.read(spark)
-                .groupBy("text_hash")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-                .filter(F.size("members") > 1)
-                .select("members")
-            )
-            for row in exact.collect():
-                m = row["members"]
-                for x in m[1:]:
-                    yield m[0], x
-            if tables["pairs"].exists():
-                for row in (
-                    tables["pairs"].read(spark).select("doc_a", "doc_b").collect()
-                ):
-                    yield row["doc_a"], row["doc_b"]
-
-        rows = union_find_labels(_edges())
-        clusters_t.overwrite(
-            spark.createDataFrame(rows, "doc_id long, cluster_id long")
-            if rows
-            else spark.createDataFrame([], "doc_id long, cluster_id long")
-        )
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            # groups accumulates one segment per batch like the LSH
-            # stores; clusters is a fresh overwrite whose superseded
-            # snapshots would otherwise pile up on disk forever
-            groups_t.compact(spark)
-            groups_t.expire_snapshots(keep_last=1)
-            clusters_t.expire_snapshots(keep_last=1)
 
     q = (
         stream.writeStream.foreachBatch(_process)
@@ -578,3 +656,167 @@ def run_streaming_duplicate_clusters(
     )
     q.awaitTermination()
     return {**tables, "groups": groups_t, "clusters": clusters_t}
+
+
+def _cluster_state_init(spark, groups_t, clusters_t, pairs_t, state, limit) -> None:
+    """One-time (per process) state rebuild from the persisted tables.
+    If the committed evidence already exceeds the driver regime, skip
+    the driver rebuild entirely and start distributed."""
+    n_pairs = pairs_t.read(spark).count() if pairs_t.exists() else 0
+    n_star = 0
+    if groups_t.exists():
+        g = groups_t.read(spark)
+        agg = g.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("text_hash").alias("hashes"),
+        ).collect()[0]
+        n_star = agg["rows"] - agg["hashes"]
+    if n_pairs + n_star > limit:
+        state["distributed"] = True
+        state["uf"], state["canon"] = None, None
+        return
+    uf = _IncrementalUnionFind()
+    uf.n_edges = n_pairs + n_star
+    if clusters_t.exists():
+        uf.load(
+            (r["doc_id"], r["cluster_id"])
+            for r in clusters_t.read(spark).select("doc_id", "cluster_id").collect()
+        )
+    canon: dict[str, int] = {}
+    if groups_t.exists():
+        for r in (
+            groups_t.read(spark)
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("m"))
+            .collect()
+        ):
+            canon[r["text_hash"]] = r["m"]
+    state["uf"], state["canon"] = uf, canon
+
+
+def _distributed_cluster_rebuild(spark, pairs_t, groups_t, clusters_t) -> None:
+    """>driver_edge_limit regime: rebuild labels executor-side with the
+    batch operator's min-label propagation over the committed evidence
+    (star edges from content groups ∪ verified pairs) — no driver-side
+    graph, no driver collect. Overwrites the label table whole (the
+    delta bookkeeping is a driver-regime optimization)."""
+    from ..operators.dedup import min_label_propagation
+
+    g = groups_t.read(spark)
+    canon = g.groupBy("text_hash").agg(F.min("doc_id").alias("b"))
+    e1 = g.join(canon, "text_hash").select(F.col("doc_id").alias("a"), "b")
+    edges = e1
+    if pairs_t.exists():
+        edges = edges.unionByName(
+            pairs_t.read(spark).select(
+                F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+            )
+        )
+    edges = edges.filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
+    labels = min_label_propagation(edges).withColumn(
+        "doc_bucket",
+        F.pmod(F.col("doc_id"), F.lit(LSH_KEY_BUCKETS)).cast("int"),
+    ).persist()
+    # evidence only grows, so labels can only be empty before the first
+    # edge ever — and a 0-row write to a partitioned table would leave a
+    # parquet-less partition dir that breaks later reads
+    if labels.count() > 0:
+        clusters_t.overwrite(labels)
+    labels.unpersist()
+
+
+def _clusters_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    tables: dict,
+    groups_t,
+    clusters_t,
+    state: dict,
+    bucket_cap: int | None,
+    compact_every: int | None,
+    driver_edge_limit: int,
+    stats_out: list | None,
+) -> None:
+    spark = batch_df.sparkSession
+    if state["uf"] is None and not state["distributed"]:
+        _cluster_state_init(
+            spark, groups_t, clusters_t, tables["pairs"], state, driver_edge_limit
+        )
+    distributed = state["distributed"]
+    lsh_stats = _lsh_process_batch(
+        batch_df,
+        batch_id,
+        tables,
+        bucket_cap,
+        compact_every,
+        spark,
+        collect_pairs=not distributed,
+    )
+    hashed = batch_df.filter(F.col("text").isNotNull()).select(
+        F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    btag = f"b{batch_id}"
+    replayed_groups = groups_t.exists() and groups_t.has_tag(btag)
+    groups_t.append(hashed, tag=btag)
+
+    driver_rows = 0
+    if distributed:
+        _distributed_cluster_rebuild(spark, tables["pairs"], groups_t, clusters_t)
+        mode = "distributed"
+    else:
+        uf, canon = state["uf"], state["canon"]
+        # the batch's star edges: each content hash's docs connect to
+        # the hash's anchor (the first-committed min member) — driver
+        # rows ∝ the batch, never ∝ the accumulated groups
+        batch_rows = hashed.collect()
+        driver_rows += len(batch_rows)
+        by_hash: dict[str, list[int]] = {}
+        for r in batch_rows:
+            by_hash.setdefault(r["text_hash"], []).append(r["doc_id"])
+        edges: list[tuple[int, int]] = []
+        for h, docs in by_hash.items():
+            docs.sort()
+            anchor = canon.get(h)
+            if anchor is None and len(docs) == 1:
+                # a never-seen singleton joins no component (batch
+                # semantics: only docs in a dup relation are clustered)
+                canon[h] = docs[0]
+                continue
+            base = docs[0] if anchor is None else anchor
+            edges.extend((base, d) for d in docs if d != base)
+            canon[h] = min(base, docs[0])
+        new_pairs = lsh_stats["new_pairs"] or []
+        driver_rows += len(new_pairs)
+        edges.extend(new_pairs)
+        delta = uf.add_edges(edges)
+        driver_rows += len(delta)
+        if delta:
+            delta_df = spark.createDataFrame(
+                [(d, label, d % LSH_KEY_BUCKETS) for d, label in sorted(delta.items())],
+                "doc_id long, cluster_id long, doc_bucket int",
+            )
+            clusters_t.merge(spark, delta_df, key="doc_id")
+        mode = "driver"
+        if uf.n_edges > driver_edge_limit:
+            # crossing the regime boundary: hand off to the distributed
+            # path from the next batch on (state is simply dropped — the
+            # persisted tables carry everything)
+            state["distributed"] = True
+            state["uf"], state["canon"] = None, None
+    if replayed_groups:
+        # a replayed batch must not re-fold as if new — the monotone
+        # fold already makes it a no-op (delta empty); nothing to do,
+        # noted for the reader
+        pass
+    if stats_out is not None:
+        stats_out.append(
+            {"batch_id": batch_id, "mode": mode, "driver_rows": driver_rows}
+        )
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        # groups accumulates one segment per batch like the LSH stores;
+        # clusters accumulates merge-on-read exclusion history
+        groups_t.compact(spark)
+        groups_t.expire_snapshots(keep_last=1)
+        clusters_t.compact(spark)
+        clusters_t.expire_snapshots(keep_last=1)

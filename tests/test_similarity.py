@@ -58,9 +58,10 @@ def test_trained_ivf_recall_on_clustered_corpus(spark):
     — the measurement VERDICT r2 asked for (the stand-in scores ~0.68
     here: hyperplane signs split every true cluster across lists)."""
     emb = _clustered_embeddings(spark)
+    mod = sim.train_sample_mod(emb.count())
     rows = [
         (r["vec_id"], r["embedding"])
-        for r in emb.filter(f"vec_id % {sim.TRAIN_SAMPLE_MOD} = 0").collect()
+        for r in emb.filter(f"vec_id % {mod} = 0").collect()
     ]
     cents = sim.train_ivf_codebook(rows)
     assert cents == sim.train_ivf_codebook(list(reversed(rows)))
@@ -85,3 +86,42 @@ def test_gemm_chunking_forced(spark):
     single = _rows(sim.cosine_topk_gemm(emb))
     brute = _rows(sim.cosine_topk(emb))
     assert chunked == single == brute
+
+
+def test_train_sample_mod_scales_with_corpus(spark, tmp_path):
+    """VERDICT r3 item 3: the IVF training decimation derives from the
+    corpus count (target ~256·K_LISTS sample vectors) instead of a fixed
+    MOD — a 10^9-vector corpus no longer collects a third of itself to
+    the driver — and the Spark and parquet-twin training paths compute
+    the SAME modulus from the SAME rows, so the codebooks stay equal."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = sim.TRAIN_TARGET_PER_CENTROID * sim.K_LISTS
+    assert sim.train_sample_mod(600) == 1  # tiny corpus: train on all
+    assert sim.train_sample_mod(3 * target) == 3
+    assert sim.train_sample_mod(10**9) == 10**9 // target  # ~244k
+
+    n = 5 * target  # large enough that MOD=5 > the old fixed 3
+    assert sim.train_sample_mod(n) == 5
+    vecs = [
+        np.array(
+            [((i * 31 + j * 17) % 200 - 100) / 100.0 for j in range(sim.DIM)],
+            dtype=np.float32,
+        )
+        for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path)
+
+    c_pq = sim.train_ivf_codebook_parquet(path)
+    c_df = sim.train_ivf_codebook_df(spark.read.parquet(path))
+    assert c_df == c_pq  # same rule, same rows, same codebook
+    assert len(c_df) == sim.K_LISTS
