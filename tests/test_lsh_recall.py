@@ -103,3 +103,46 @@ def test_near_identical_flood_hits_cap(spark):
     sigs.unpersist()
     assert n_pairs == 0  # all buckets dropped: explicitly-partial result
     assert dropped and all(bn > 50 for bn in dropped.values())
+
+
+def test_recall_at_gate_edge(spark):
+    """The measured (not modeled) recall contract AT the 0.5 gate
+    (VERDICT r3 item 9): planted pairs at exactly J = 0.500
+    (21-token prefix, 10-token unique suffixes → 20/40) and J ≈ 0.5102
+    (26-token prefix, 12-token suffixes → 25/49). Theory for 32×4
+    banding says per-pair recall ≈ 1−(1−J⁴)³² ≈ 0.874 / 0.886 there;
+    the deterministic corpus below MEASURES 26/30 (0.867) and 28/30
+    (0.933) — those exact numbers are pinned (any banding/signature
+    change must re-measure, recorded in PLANS.md #7)."""
+    texts: list[str] = []
+    levels: list[tuple[str, int, int]] = []
+    for tag, (p, x) in {"A": (21, 10), "B": (26, 12)}.items():
+        for g in range(30):
+            pref = " ".join(f"e{tag}g{g}t{i}" for i in range(p))
+            a = pref + " " + " ".join(f"a{tag}g{g}s{i}" for i in range(x))
+            b = pref + " " + " ".join(f"b{tag}g{g}s{i}" for i in range(x))
+            levels.append((tag, len(texts), len(texts) + 1))
+            texts.extend([a, b])
+    for n in range(60):
+        texts.append(" ".join(f"noise{n}w{i}" for i in range(25)))
+
+    sets = [_bigrams(t) for t in texts]
+    planted_j = set()
+    for tag, i, j in levels:
+        u = len(sets[i] | sets[j])
+        planted_j.add(round(len(sets[i] & sets[j]) / u, 6))
+    assert planted_j == {0.5, 0.510204}  # the construction is exact
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_pairs(_mk_corpus(spark, texts)).collect()
+    }
+    assert got <= {(i, j) for _, i, j in levels}  # precision stays exact
+    found = {
+        tag: sum(1 for t, i, j in levels if t == tag and (i, j) in got)
+        for tag in ("A", "B")
+    }
+    # the measured fact (deterministic corpus → fixed numbers)
+    assert found == {"A": 26, "B": 28}, found
+    # and the floor a user can rely on right at the gate
+    assert found["A"] / 30 >= 0.85 and found["B"] / 30 >= 0.90

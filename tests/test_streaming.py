@@ -600,3 +600,275 @@ def test_streaming_lsh_probe_scans_only_touched_buckets(spark, tmp_path):
     # scanned ⊆ touched (∝ the batch), strictly smaller than the index
     assert len(scanned_buckets) <= stats["touched_key_buckets"]
     assert len(scanned_buckets) < len(total_buckets)
+
+
+def _write_batches(in_dir, frames):
+    """Stage pandas frames as one parquet file per micro-batch, mtime-
+    ordered so the file source replays them in list order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir.mkdir(exist_ok=True)
+    for i, pdf in enumerate(frames):
+        p = in_dir / f"batch_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(p))
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
+def test_streaming_clusters_driver_work_proportional_to_batch(spark, tmp_path):
+    """VERDICT r3 item 2's scale contract: per batch, driver rows
+    touched are ∝ the batch's new edges (its hashed rows + collected
+    pairs + changed-label delta) — NOT ∝ the accumulated evidence. A
+    one-doc, zero-edge batch after a big batch must touch O(1) driver
+    rows."""
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.operators.dedup import (
+        DUP_OFFSET,
+        augment_corpus,
+    )
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        run_streaming_duplicate_clusters,
+    )
+
+    corpus = augment_corpus(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    pdf = corpus.toPandas()
+    solo = pd.DataFrame(
+        {"doc_id": [10**7], "text": [" ".join(f"hermit{i}" for i in range(15))]}
+    )
+    in_dir = tmp_path / "in_prop"
+    _write_batches(in_dir, [pdf, solo])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    stats: list = []
+    run_streaming_duplicate_clusters(
+        stream, str(tmp_path / "prop_store"), str(tmp_path / "ckpt_prop"),
+        stats_out=stats,
+    )
+    assert [s["mode"] for s in stats] == ["driver", "driver"]
+    assert stats[0]["driver_rows"] > 100  # the big batch folded real work
+    # the zero-edge batch: 1 hashed row, 0 pairs, 0 delta
+    assert stats[1]["driver_rows"] == 1
+
+
+def test_streaming_clusters_replay_is_idempotent(spark, tmp_path):
+    """Replaying an already-committed micro-batch after a simulated
+    restart (fresh in-memory state rebuilt from the persisted tables)
+    must leave every store unchanged: label folding is monotone, so the
+    delta is empty and no commit happens."""
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.operators.dedup import (
+        DUP_OFFSET,
+        augment_corpus,
+    )
+    from mklab_focused_crawler_spark.storage.snapshot import SnapshotTable
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        _clusters_process_batch,
+        _make_lsh_tables,
+    )
+
+    corpus = augment_corpus(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    pdf = corpus.toPandas()
+    parts = [pdf[pdf.doc_id >= DUP_OFFSET], pdf[pdf.doc_id < DUP_OFFSET]]
+    store = str(tmp_path / "cc_replay")
+    tables = _make_lsh_tables(store)
+    groups_t = SnapshotTable(store, "content_groups")
+    clusters_t = SnapshotTable(store, "clusters", partition_by=("doc_bucket",))
+    state: dict = {"uf": None, "canon": None, "distributed": False}
+    for i, part in enumerate(parts):
+        df = spark.createDataFrame(part, "doc_id long, text string")
+        _clusters_process_batch(
+            df, i, tables, groups_t, clusters_t, state, None, None, 1_000_000, None
+        )
+    before = {
+        name: t.read(spark).count()
+        for name, t in {**tables, "groups": groups_t, "clusters": clusters_t}.items()
+        if t.exists()
+    }
+    before_snap = clusters_t.current_snapshot()
+    want = {
+        (r["doc_id"], r["cluster_id"]) for r in clusters_t.read(spark).collect()
+    }
+
+    # restart: fresh state, replay the last batch
+    fresh: dict = {"uf": None, "canon": None, "distributed": False}
+    df = spark.createDataFrame(parts[1], "doc_id long, text string")
+    _clusters_process_batch(
+        df, 1, _make_lsh_tables(store), groups_t, clusters_t, fresh,
+        None, None, 1_000_000, None,
+    )
+    after = {
+        name: t.read(spark).count()
+        for name, t in {**_make_lsh_tables(store), "groups": groups_t, "clusters": clusters_t}.items()
+        if t.exists()
+    }
+    assert after == before
+    assert clusters_t.current_snapshot() == before_snap  # no empty commit
+    got = {(r["doc_id"], r["cluster_id"]) for r in clusters_t.read(spark).collect()}
+    assert got == want
+
+
+def test_streaming_clusters_distributed_fallback(spark, tmp_path):
+    """Past driver_edge_limit the op switches to the shared distributed
+    min-label propagation (executor-side, no driver graph) — and the
+    final table still equals batch duplicate_clusters exactly."""
+    from mklab_focused_crawler_spark.operators.dedup import (
+        DUP_OFFSET,
+        augment_corpus,
+        duplicate_clusters,
+    )
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        run_streaming_duplicate_clusters,
+    )
+
+    corpus = augment_corpus(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    pdf = corpus.toPandas()
+    parts = [
+        pdf[pdf.doc_id >= DUP_OFFSET],
+        pdf[(pdf.doc_id < DUP_OFFSET) & (pdf.doc_id % 2 == 0)],
+        pdf[(pdf.doc_id < DUP_OFFSET) & (pdf.doc_id % 2 == 1)],
+    ]
+    in_dir = tmp_path / "in_fb"
+    _write_batches(in_dir, parts)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    stats: list = []
+    tables = run_streaming_duplicate_clusters(
+        stream, str(tmp_path / "fb_store"), str(tmp_path / "ckpt_fb"),
+        driver_edge_limit=0, stats_out=stats,
+    )
+    # batch 0 runs in the (empty-evidence) driver regime, crosses the
+    # limit, and every later batch runs distributed
+    assert [s["mode"] for s in stats] == ["driver", "distributed", "distributed"]
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in tables["clusters"].read(spark).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(spark, corpus).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_hot_cap_contract(spark, tmp_path):
+    """Pins the documented batch-vs-streaming hot-cap divergence
+    (VERDICT r3 'what's wrong' #6): when a bucket goes hot MID-STREAM,
+    streaming keeps the pairs emitted before the bucket crossed the cap
+    and records the drop in the ledger; batch — seeing final occupancy —
+    drops the bucket whole and emits nothing. Corpus: 3 docs with
+    IDENTICAL token streams but distinct raw texts (interior double
+    spaces), so they are 3 distinct canonicals colliding on every band."""
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.operators.dedup import lsh_pairs_with_sigs
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        read_streaming_lsh_pairs,
+        run_streaming_lsh_dedup,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [body, body.replace(" ", "  ", 1), body.replace(" ", "  ", 2)]
+    frames = [
+        pd.DataFrame({"doc_id": [i], "text": [t]}) for i, t in enumerate(texts)
+    ]
+    in_dir = tmp_path / "in_hot"
+    _write_batches(in_dir, frames)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "hot_store")
+    tables = run_streaming_lsh_dedup(
+        stream, store, str(tmp_path / "ckpt_hot"), bucket_cap=2
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in read_streaming_lsh_pairs(spark, store).collect()
+    }
+    # the pre-hot pair survives; batch 2 pushed occupancy to 3 > 2
+    assert got == {(0, 1, 1.0)}
+    hot_rows = tables["hot"].read(spark).collect()
+    assert hot_rows and all(r["bn"] > 2 for r in hot_rows)
+    assert {r["batch_id"] for r in hot_rows} == {2}
+
+    # batch on the same corpus: final occupancy 3 > 2 → bucket dropped
+    # whole, no pairs at all — same evidence, stricter outcome
+    corpus = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True), "doc_id long, text string"
+    )
+    pairs, sigs, hot = lsh_pairs_with_sigs(corpus, bucket_cap=2)
+    n_pairs, n_hot = pairs.count(), hot.count()
+    sigs.unpersist()
+    assert n_pairs == 0 and n_hot > 0
+
+
+def test_streaming_exact_dedup_ttl_readmission(spark, tmp_path):
+    """Pins the bounded-memory mode's re-admission semantics (VERDICT
+    r3 item 8): a content group whose state ages out (no data for
+    ttl_ms) is evicted; when the same content re-arrives it forms a
+    BRAND-NEW group — fresh canonical, dup_count restarting — instead
+    of refining the old one."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.streaming.dedup import streaming_exact_dedup
+
+    in_dir = tmp_path / "in_ttl"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_ttl")
+
+    def run_once(name, pdf):
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(in_dir / f"{name}.parquet"),
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            streaming_exact_dedup(stream, ttl_ms=1)
+            .writeStream.format("memory")
+            .queryName("ttl_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            (r["doc_id"], r["canonical_doc_id"], r["dup_count"])
+            for r in spark.table("ttl_dedup").collect()
+        ]
+
+    same = "the recurring page body"
+    run_once("a", pd.DataFrame({"doc_id": [10, 11], "text": [same, same]}))
+    time.sleep(0.5)  # let the 1ms TTL lapse
+    # an unrelated batch triggers timeout processing: the idle group
+    # (no data this trigger, past its deadline) is evicted
+    run_once("b", pd.DataFrame({"doc_id": [20], "text": ["something else"]}))
+    time.sleep(0.5)
+    emissions = run_once("c", pd.DataFrame({"doc_id": [12], "text": [same]}))
+
+    by_doc: dict[int, tuple[int, int]] = {}
+    for doc, canon, cnt in emissions:
+        by_doc[doc] = (canon, cnt)
+    assert by_doc[10] == (10, 2) and by_doc[11] == (10, 2)  # pre-evict group
+    # re-admission: doc 12 starts a NEW group (the unbounded mode — see
+    # test_streaming_exact_dedup_matches_batch — would refine to (10, 3))
+    assert by_doc[12] == (12, 1)
