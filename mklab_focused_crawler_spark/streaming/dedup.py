@@ -112,6 +112,14 @@ def streaming_exact_dedup(stream: DataFrame, ttl_ms: int | None = None) -> DataF
     dup_count restarting) — state memory becomes O(distinct content
     within the TTL horizon) instead of O(corpus). Semantics pinned by
     tests/test_streaming.py::test_streaming_exact_dedup_ttl_readmission.
+
+    TTL mode requires a RECURRING trigger (processingTime), never
+    availableNow/once: with ProcessingTimeTimeout registered, Spark's
+    stateful operator reports "should run another batch" on every
+    batch (processing time always advances), so an availableNow query
+    loops state-cleanup micro-batches forever instead of terminating —
+    measured, not theorized. A long-running ingestion stream (the mode's
+    whole point) uses a recurring trigger anyway.
     """
     hashed = stream.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -756,9 +764,9 @@ def _clusters_process_batch(
         F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash"),
         F.col("doc_id").cast("long").alias("doc_id"),
     )
-    btag = f"b{batch_id}"
-    replayed_groups = groups_t.exists() and groups_t.has_tag(btag)
-    groups_t.append(hashed, tag=btag)
+    # a replayed batch's groups append is a tag no-op, and its edge fold
+    # below is a monotone no-op (empty delta) — no special-casing needed
+    groups_t.append(hashed, tag=f"b{batch_id}")
 
     driver_rows = 0
     if distributed:
@@ -804,11 +812,6 @@ def _clusters_process_batch(
             # persisted tables carry everything)
             state["distributed"] = True
             state["uf"], state["canon"] = None, None
-    if replayed_groups:
-        # a replayed batch must not re-fold as if new — the monotone
-        # fold already makes it a no-op (delta empty); nothing to do,
-        # noted for the reader
-        pass
     if stats_out is not None:
         stats_out.append(
             {"batch_id": batch_id, "mode": mode, "driver_rows": driver_rows}

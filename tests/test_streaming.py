@@ -818,7 +818,12 @@ def test_streaming_exact_dedup_ttl_readmission(spark, tmp_path):
     r3 item 8): a content group whose state ages out (no data for
     ttl_ms) is evicted; when the same content re-arrives it forms a
     BRAND-NEW group — fresh canonical, dup_count restarting — instead
-    of refining the old one."""
+    of refining the old one.
+
+    The TTL mode needs a RECURRING trigger (see streaming_exact_dedup's
+    docstring: with ProcessingTimeTimeout, availableNow loops cleanup
+    batches forever), so this test drives ONE processingTime-triggered
+    query and feeds files into its source directory live."""
     import time
 
     import pandas as pd
@@ -829,44 +834,58 @@ def test_streaming_exact_dedup_ttl_readmission(spark, tmp_path):
 
     in_dir = tmp_path / "in_ttl"
     in_dir.mkdir()
-    ckpt = str(tmp_path / "ckpt_ttl")
 
-    def run_once(name, pdf):
+    def feed(name, pdf):
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
             str(in_dir / f"{name}.parquet"),
         )
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(in_dir))
-        )
-        q = (
-            streaming_exact_dedup(stream, ttl_ms=1)
-            .writeStream.format("memory")
-            .queryName("ttl_dedup")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+
+    def emissions():
         return [
             (r["doc_id"], r["canonical_doc_id"], r["dup_count"])
             for r in spark.table("ttl_dedup").collect()
         ]
 
+    def await_doc(doc, deadline_s=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if any(d == doc for d, _, _ in emissions()):
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"doc {doc} never emitted; got {emissions()}")
+
     same = "the recurring page body"
-    run_once("a", pd.DataFrame({"doc_id": [10, 11], "text": [same, same]}))
-    time.sleep(0.5)  # let the 1ms TTL lapse
-    # an unrelated batch triggers timeout processing: the idle group
-    # (no data this trigger, past its deadline) is evicted
-    run_once("b", pd.DataFrame({"doc_id": [20], "text": ["something else"]}))
-    time.sleep(0.5)
-    emissions = run_once("c", pd.DataFrame({"doc_id": [12], "text": [same]}))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        streaming_exact_dedup(stream, ttl_ms=100)
+        .writeStream.format("memory")
+        .queryName("ttl_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        feed("a", pd.DataFrame({"doc_id": [10, 11], "text": [same, same]}))
+        await_doc(10)
+        time.sleep(1.0)  # let the 100ms TTL lapse
+        # an unrelated batch keeps triggers flowing; the idle group (no
+        # data, past its deadline) is evicted by timeout processing
+        feed("b", pd.DataFrame({"doc_id": [20], "text": ["something else"]}))
+        await_doc(20)
+        time.sleep(1.0)
+        feed("c", pd.DataFrame({"doc_id": [12], "text": [same]}))
+        await_doc(12)
+    finally:
+        q.stop()
 
     by_doc: dict[int, tuple[int, int]] = {}
-    for doc, canon, cnt in emissions:
+    for doc, canon, cnt in emissions():
         by_doc[doc] = (canon, cnt)
     assert by_doc[10] == (10, 2) and by_doc[11] == (10, 2)  # pre-evict group
     # re-admission: doc 12 starts a NEW group (the unbounded mode — see
