@@ -20,6 +20,7 @@ from mklab_focused_crawler_spark.operators.terms import top_terms_per_source
 from mklab_focused_crawler_spark.operators import (
     dedup,
     multimodal,
+    quality,
     similarity,
     trending,
 )
@@ -224,6 +225,18 @@ def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-trained coarse
+    clusters (the IVF codebook job) → within-cluster integer-cosine
+    prune, keep-earliest. Training and prune run against the same
+    sf_dir, as a production curation pass trains on the corpus it
+    filters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, centroids=similarity.train_ivf_codebook_df(emb)
+    )
 
 
 # ---- text analysis (functions/text.py) -----------------------------------
@@ -470,6 +483,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": _q_ivf_topk,
     "ivf_topk_trained": _q_ivf_topk_trained,
     "embedding_near_dups": _q_embedding_near_dups,
+    "semantic_dedup": _q_semantic_dedup,
+    "doc_quality": lambda s, d: quality.doc_quality_signals(
+        load_table(s, d, "documents")
+    ),
     "text_analysis": _q_text_analysis,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
         load_table(s, d, "events")
@@ -541,6 +558,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_multi": similarity.ann_topk_multi_sql(),
     "ivf_topk": similarity.ivf_topk_sql(),
     "embedding_near_dups": similarity.embedding_near_dups_sql(),
+    "doc_quality": quality.doc_quality_signals_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),
     "contributor_counts": trending.contributor_counts_sql(),
@@ -596,5 +614,8 @@ def oracle_sql() -> dict[str, str]:
             f"{_ORACLE_SF_DIR}/embeddings.parquet"
         )
         _LAZY_ORACLES["ivf_topk_trained"] = similarity.ivf_topk_sql(centroids=cents)
+        _LAZY_ORACLES["semantic_dedup"] = similarity.semantic_dedup_sql(
+            centroids=cents
+        )
     out.update(_LAZY_ORACLES)
     return out

@@ -101,10 +101,16 @@ def ngrams(tokens: Column, n: int) -> Column:
         # nulls, so the final element degenerates to just the last
         # token — drop it by slicing to size-1
         return F.slice(pairs, 1, F.greatest(F.size(tokens) - 1, F.lit(0)))
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
+    # guard: sequence(1, 0) yields the DESCENDING [1, 0] (the
+    # F.sequence(0,-1) trap — CLAUDE.md), whose 0 element crashes
+    # slice(start=0) — short docs must short-circuit to []
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngrams_sql(tokens_expr: str, n: int) -> str:

@@ -866,3 +866,131 @@ def embedding_near_dups_sql() -> str:
               >= {NEAR_DUP_NUM * NEAR_DUP_NUM} * na2 * nb2
         ORDER BY id_a, id_b
     """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: coarse k-means clusters → within-cluster cosine prune
+# ---------------------------------------------------------------------------
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540; public method): cluster
+# embeddings with k-means, then prune within-cluster semantic duplicates
+# above a cosine threshold — the quadratic pair work is bounded by
+# cluster size (~n/k), never the corpus. Threshold as an exact ratio;
+# 0.35 sits inside the fixture corpus's within-cluster cosine range
+# (max ≈ 0.47) so the operator prunes a non-trivial, deterministic set.
+SEMDEDUP_NUM, SEMDEDUP_DEN = 7, 20
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[int]] | None = None,
+    num: int = SEMDEDUP_NUM,
+    den: int = SEMDEDUP_DEN,
+) -> DataFrame:
+    """(vec_id, list_id, kept): SemDeDup-style semantic deduplication.
+
+    Assignment reuses the IVF coarse quantizer (nearest centroid under
+    exact-int64 L2, :func:`_ivf_ranked_lists` — train with
+    :func:`train_ivf_codebook_df` for a data-fitted codebook). A vector
+    is PRUNED iff some lower-``vec_id`` vector in the SAME cluster is
+    within the cosine threshold — tested with the integer inequality
+    den²·dot² ≥ num²·|a|²·|b|² (dot > 0), so no float boundary effects.
+
+    The exists-earlier-neighbor rule is deliberately order-free (a pure
+    semi-join), unlike the paper's sequential greedy scan: it is
+    idempotent, embarrassingly parallel, and prunes a (possibly larger)
+    superset — every pruned vector has a kept-or-pruned earlier
+    near-duplicate, and the minimum-id vector of every neighborhood is
+    always kept.
+
+    Scale: one shuffle on ``list_id`` for the self-join (pair work
+    bounded by cluster size; AQE skew-join splits a hot cluster), then
+    the pruned-id set — tiny relative to the corpus — broadcasts back
+    onto the assignment frame. At 10^9+ vectors K_LISTS grows with the
+    corpus so clusters stay bounded, exactly as the paper trains more
+    clusters at larger scale."""
+    q = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", qnorm2(F.col("q")))
+    assigned = q.select(
+        "vec_id",
+        "q",
+        "n2",
+        F.get(_ivf_ranked_lists(F.col("q"), centroids), 0).alias("list_id"),
+    )
+    earlier = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+        "list_id",
+    )
+    d = qdot(F.col("qa"), F.col("q"))
+    pruned = (
+        assigned.join(earlier, "list_id")
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .filter(
+            (d > 0)
+            & (
+                F.lit(den * den) * d * d
+                >= F.lit(num * num) * F.col("na2") * F.col("n2")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        assigned.join(broadcast(pruned), "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce(~F.col("is_pruned"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    centroids: list[list[int]] | None = None,
+    num: int = SEMDEDUP_NUM,
+    den: int = SEMDEDUP_DEN,
+) -> str:
+    cents = IVF_CENTROIDS if centroids is None else centroids
+    q = quantized_sql("embedding")
+    per_list = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, "
+        f"CAST({sum(v * v for v in c)} AS BIGINT) - 2 * "
+        f"{qdot_sql('q', '[' + ', '.join(str(v) for v in c) + ']')} AS nd FROM qt"
+        for j, c in enumerate(cents)
+    )
+    dot = qdot_sql("a.q", "b.q")
+    return f"""
+        WITH qt AS (
+            SELECT vec_id, {q} AS q, {qdot_sql(q, q)} AS n2 FROM embeddings
+        ),
+        scores AS (
+            {per_list}
+        ),
+        assign AS (
+            SELECT vec_id, j AS list_id FROM (
+                SELECT vec_id, j,
+                       row_number() OVER (PARTITION BY vec_id
+                            ORDER BY nd ASC, j ASC) AS rn
+                FROM scores
+            ) WHERE rn = 1
+        ),
+        av AS (
+            SELECT a.vec_id, a.list_id, q.q, q.n2
+            FROM assign a JOIN qt q USING (vec_id)
+        ),
+        pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM av b JOIN av a
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            WHERE {dot} > 0
+              AND {den * den} * ({dot}) * ({dot})
+                  >= {num * num} * a.n2 * b.n2
+        )
+        SELECT v.vec_id, v.list_id, (p.vec_id IS NULL) AS kept
+        FROM av v LEFT JOIN pruned p USING (vec_id)
+        ORDER BY v.vec_id
+    """

@@ -153,3 +153,21 @@ def test_fuzz_entities_and_pos(spark, tmp_path_factory, texts):
         df = m.queries()[q](spark, str(d))
         _compare(df, con, m.oracle_sql()[q])
     con.close()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+@example(texts=NASTY)
+@example(texts=["a", "a b", "a b c", "x " * 200])  # n-gram length edges
+def test_fuzz_doc_quality(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    df = m.queries()["doc_quality"](spark, str(d))
+    _compare(df, con, m.oracle_sql()["doc_quality"])
+    con.close()

@@ -125,3 +125,54 @@ def test_train_sample_mod_scales_with_corpus(spark, tmp_path):
     c_df = sim.train_ivf_codebook_df(spark.read.parquet(path))
     assert c_df == c_pq  # same rule, same rows, same codebook
     assert len(c_df) == sim.K_LISTS
+
+
+def test_semantic_dedup_semantics_vs_brute_force(spark):
+    """semantic_dedup's prune rule, verified independently: a vector is
+    pruned IFF some lower-id vector in the same coarse cluster clears
+    the integer cosine threshold (numpy int64 re-derivation — same
+    quantization, same L2 assignment, no Spark code). Also pins the two
+    structural invariants: the min-id member of every cluster is kept,
+    and the clustered corpus prunes a non-trivial set (cluster-mates sit
+    far above the threshold by construction)."""
+    emb = _clustered_embeddings(spark)
+    cents = sim.train_ivf_codebook_df(emb)
+    got = {
+        r["vec_id"]: (r["list_id"], r["kept"])
+        for r in sim.semantic_dedup(emb, centroids=cents).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.collect()
+    )
+    X = np.rint(
+        np.asarray([list(e) for _, e in rows], dtype=np.float64) * sim.SCALE
+    ).astype(np.int64)
+    C = np.asarray(cents, dtype=np.int64)
+    nd = (C * C).sum(1)[None, :] - 2 * (X @ C.T)
+    assign = np.argmin(nd, axis=1)  # argmin takes first min = id tiebreak
+    n2 = (X * X).sum(1)
+    num2 = sim.SEMDEDUP_NUM * sim.SEMDEDUP_NUM
+    den2 = sim.SEMDEDUP_DEN * sim.SEMDEDUP_DEN
+    pruned = set()
+    for j in set(assign):
+        idx = np.where(assign == j)[0]
+        for bi, b in enumerate(idx):
+            for a in idx[:bi]:
+                d = int(X[a] @ X[b])
+                if d > 0 and den2 * d * d >= num2 * int(n2[a]) * int(n2[b]):
+                    pruned.add(int(rows[b][0]))
+                    break
+
+    assert set(got) == {v for v, _ in rows}
+    for i, (vid, _) in enumerate(rows):
+        assert got[vid][0] == int(assign[i]), vid
+        assert got[vid][1] == (vid not in pruned), vid
+    # min-id per cluster always kept; the clustered fixture must prune
+    by_list: dict = {}
+    for vid, (lid, kept) in got.items():
+        by_list.setdefault(lid, []).append((vid, kept))
+    for lid, members in by_list.items():
+        assert min(members)[1] is True, lid
+    n_pruned = sum(1 for _, k in got.values() if not k)
+    assert 0 < n_pruned < len(got)
