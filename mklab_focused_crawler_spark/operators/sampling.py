@@ -1,0 +1,82 @@
+"""Deterministic dataset mixing: per-source hash-based sampling rates —
+the mixture-weights step of a training-data pipeline (cf. the public
+Pile / C4 / Gopher data recipes: each source contributes a tuned
+fraction of documents).
+
+A document is kept iff ``hash64(doc_id) % 1e6 < rate_ppm(source)``.
+Properties that matter at 100 TB:
+
+- **One narrow pass, zero shuffles** — the mixture is a filter, not a
+  groupBy-sample; no sampleBy() RDD machinery, no per-source scans.
+- **Decision stability** — the draw is a pure function of the row key,
+  so growing the corpus (or re-running after a crash) never re-samples
+  previously kept/dropped documents; incremental ingestion keeps the
+  mixture consistent across runs.
+- **Exact cross-engine determinism** — the draw uses the portable
+  60-bit md5 hash (functions/hashing.py) and integer comparison; the
+  DuckDB twin reproduces every decision bit-for-bit.
+
+Rates are parts-per-million integers (never float fractions — a float
+rate times 1e6 could round differently across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+
+PPM = 1_000_000
+# default mixture over the synthetic corpus's sources: deterministic,
+# non-uniform (srcN is kept at (N+1)*45000 ppm = 4.5%..90%) so the
+# sampled output exercises every rate band; unknown sources fall back
+# to DEFAULT_RATE_PPM
+DEFAULT_RATES: dict[str, int] = {f"src{i}": (i + 1) * 45_000 for i in range(20)}
+DEFAULT_RATE_PPM = 100_000
+
+
+def _draw(doc_id_col) -> F.Column:
+    # hash the DECIMAL string form of the id (cross-engine canonical);
+    # 60-bit non-negative, so % PPM is exact in both engines
+    return F.pmod(hash64(doc_id_col.cast("string")), F.lit(PPM))
+
+
+def dataset_mix(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_ppm: int = DEFAULT_RATE_PPM,
+) -> DataFrame:
+    """(doc_id, source, sample_key) — the sampled subset under the
+    per-source ppm mixture. ``sample_key`` (the draw) is exposed so a
+    downstream pass can subsample further WITHOUT re-hashing: keeping
+    ``sample_key < r'`` for any r' < r is a consistent sub-mixture."""
+    rates = DEFAULT_RATES if rates is None else rates
+    rate = F.lit(default_ppm)
+    for src, ppm in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(int(ppm))).otherwise(rate)
+    return (
+        documents.select(
+            "doc_id", "source", _draw(F.col("doc_id")).alias("sample_key")
+        )
+        .filter(F.col("sample_key") < rate)
+    )
+
+
+def dataset_mix_sql(
+    rates: dict[str, int] | None = None,
+    default_ppm: int = DEFAULT_RATE_PPM,
+) -> str:
+    rates = DEFAULT_RATES if rates is None else rates
+    whens = " ".join(
+        f"WHEN '{src}' THEN {int(ppm)}" for src, ppm in sorted(rates.items())
+    )
+    draw = f"{hash64_sql('CAST(doc_id AS VARCHAR)')} % {PPM}"
+    return f"""
+        SELECT doc_id, source, sample_key FROM (
+            SELECT doc_id, source, {draw} AS sample_key,
+                   CASE source {whens} ELSE {default_ppm} END AS rate_ppm
+            FROM documents
+        ) WHERE sample_key < rate_ppm
+        ORDER BY doc_id
+    """
