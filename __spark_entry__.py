@@ -18,6 +18,7 @@ from mklab_focused_crawler_spark.operators.spans import (
 )
 from mklab_focused_crawler_spark.operators.terms import top_terms_per_source
 from mklab_focused_crawler_spark.operators import (
+    decontam,
     dedup,
     multimodal,
     quality,
@@ -512,6 +513,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mix": lambda s, d: sampling.dataset_mix(
         load_table(s, d, "documents")
     ),
+    "decontaminate": lambda s, d: decontam.decontaminate(
+        load_table(s, d, "documents")
+    ),
     "text_analysis": _q_text_analysis,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
         load_table(s, d, "events")
@@ -585,6 +589,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": similarity.embedding_near_dups_sql(),
     "doc_quality": quality.doc_quality_signals_sql(),
     "dataset_mix": sampling.dataset_mix_sql(),
+    "decontaminate": decontam.decontaminate_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),
     "contributor_counts": trending.contributor_counts_sql(),

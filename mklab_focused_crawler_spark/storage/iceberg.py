@@ -257,6 +257,38 @@ class IcebergTable(VersionedTable):
         )
         return self.current_snapshot() or 0
 
+    def prune_tags(self, keep: list) -> int:
+        """Checkpoint-horizon tag retention: shrink the cumulative
+        ``vt.tags`` property cache to ``keep``. Per-snapshot summary
+        properties are immutable and age out with expire_snapshots; a
+        lingering summary answering has_tag=True for a pruned tag is
+        still truthful (the batch IS committed), so pruning only ever
+        forgets dead entries."""
+        kept = sorted(self._property_tags() & {str(t) for t in keep})
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
+            f"('vt.tags' = '{','.join(kept)}')"
+        )
+        return self.current_snapshot() or 0
+
+    def compact_partitions(self, spark: SparkSession, col: str, values: list) -> int:
+        catalog = self.identifier.split(".")[0]
+        in_list = ", ".join(f"'{v}'" for v in values)
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files"
+            f"(table => '{self.identifier}', "
+            f"where => \"{col} IN ({in_list})\")"
+        )
+        return self.current_snapshot() or 0
+
+    def fragmented_partitions(self, col: str, min_segments: int = 2) -> list[str]:
+        rows = self.spark.sql(
+            f"SELECT CAST(partition.{col} AS STRING) AS v, COUNT(*) AS n "
+            f"FROM {self.identifier}.files GROUP BY partition.{col} "
+            f"HAVING COUNT(*) >= {int(min_segments)}"
+        ).collect()
+        return sorted(r["v"] for r in rows)
+
     def expire_snapshots(self, keep_last: int = 1) -> None:
         catalog = self.identifier.split(".")[0]
         self.spark.sql(

@@ -56,6 +56,10 @@ class VersionedTable(abc.ABC):
     merge_if_absent      MERGE INTO ... WHEN NOT MATCHED INSERT (only)
     rollback_to          CALL catalog.system.rollback_to_snapshot(...)
     compact              CALL catalog.system.rewrite_data_files(...)
+    compact_partitions   CALL catalog.system.rewrite_data_files(
+                         ..., where => "col IN (...)")
+    fragmented_partitions GROUP BY partition HAVING count(*) >= N over
+                         the <table>.files metadata table
     expire_snapshots     CALL catalog.system.expire_snapshots(...)
     drop                 DROP TABLE
     ==================== ==============================================
@@ -142,6 +146,35 @@ class VersionedTable(abc.ABC):
         (small-file compaction). Append-heavy tables — a streaming
         index commits one segment per micro-batch — otherwise pay a
         per-segment scan at every read. Contents unchanged."""
+
+    @abc.abstractmethod
+    def prune_tags(self, keep: list) -> int:
+        """Retention for the idempotence-tag ledger: drop every tag not
+        in ``keep``. Safe horizon: a tag whose micro-batch the streaming
+        checkpoint has already committed can never be replayed — during
+        batch N only N itself can still replay, so maintenance passes
+        prune to the current batch's tag. Without this the ledger grows
+        one entry per batch forever and is rewritten whole on every
+        tagged commit. Iceberg: shrink the ``vt.tags`` property cache
+        (per-snapshot summaries age out with expire_snapshots)."""
+
+    @abc.abstractmethod
+    def compact_partitions(self, spark: SparkSession, col: str, values: list) -> int:
+        """Partition-scoped compaction: rewrite only the listed values
+        of partition column ``col`` into fresh files — O(listed
+        partitions), never O(table). The incremental maintenance
+        primitive for streaming index stores: each pass folds the
+        buckets fragmented since the last one, untouched buckets' files
+        don't move. Iceberg: ``rewrite_data_files(where => "col IN
+        (...)")``."""
+
+    @abc.abstractmethod
+    def fragmented_partitions(self, col: str, min_segments: int = 2) -> list[str]:
+        """Partition values of ``col`` whose live rows span at least
+        ``min_segments`` data segments (string dir-name form) — the
+        read-amplified subset worth handing to
+        :meth:`compact_partitions`. Iceberg: group the ``<table>.files``
+        metadata table by partition and filter on the file count."""
 
     @abc.abstractmethod
     def expire_snapshots(self, keep_last: int = 1) -> None:

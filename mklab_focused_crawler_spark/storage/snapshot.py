@@ -71,13 +71,23 @@ class SnapshotTable(VersionedTable):
             return set()
         return set(self._manifest(cur).get("tags", []))
 
-    def _commit(self, files: list[str], op: str, new_tags: tuple = ()) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        new_tags: tuple = (),
+        tags_override: list | None = None,
+    ) -> int:
         snap = (self.current_snapshot() or 0) + 1
         manifest = {
             "snapshot": snap,
             "op": op,
             "files": files,
-            "tags": sorted(self._tags() | set(new_tags)),
+            "tags": (
+                sorted(tags_override)
+                if tags_override is not None
+                else sorted(self._tags() | set(new_tags))
+            ),
         }
         mpath = os.path.join(self.snap_dir, f"{snap:07d}.json")
         tmp = mpath + ".tmp"
@@ -133,6 +143,23 @@ class SnapshotTable(VersionedTable):
         window between data and ledger."""
         return tag in self._tags()
 
+    def prune_tags(self, keep: list) -> int:
+        """Drop idempotence tags outside ``keep`` (the interface's
+        checkpoint-horizon rule: once the streaming checkpoint has
+        committed a micro-batch's offsets, that batch can never replay
+        and its tag is dead weight — without pruning the ledger grows
+        one entry per batch forever and is rewritten whole on every
+        commit). A no-op commit when nothing prunes; data files
+        untouched."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return 0
+        m = self._manifest(cur)
+        kept = sorted(set(m.get("tags", [])) & {str(t) for t in keep})
+        if kept == m.get("tags", []):
+            return cur
+        return self._commit(m["files"], "prune_tags", tags_override=kept)
+
     @staticmethod
     def _entry_path(e) -> str:
         return e if isinstance(e, str) else e["path"]
@@ -162,7 +189,12 @@ class SnapshotTable(VersionedTable):
             df = spark.read.parquet(self._entry_path(e))
             if not isinstance(e, str):
                 for col, values in (e.get("exclude") or {}).items():
-                    df = df.filter(~F.col(col).isin(values))
+                    # exclusions are stored as hive dir-name strings;
+                    # compare in string space so an int partition column
+                    # never depends on implicit IN-list type coercion
+                    df = df.filter(
+                        ~F.col(col).cast("string").isin([str(v) for v in values])
+                    )
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -265,11 +297,67 @@ class SnapshotTable(VersionedTable):
             ) else {"path": e["path"], "exclude": dict(e.get("exclude") or {})}
             for col, values in partition_values.items():
                 seen = set(entry["exclude"].get(col, []))
-                entry["exclude"][col] = sorted(seen | set(values))
+                # normalize to the hive dir-name string form so exclusion
+                # sets stay comparable whatever Python type callers pass
+                entry["exclude"][col] = sorted(
+                    {str(v) for v in seen} | {str(v) for v in values}
+                )
+            # a segment whose every on-disk partition is excluded holds
+            # no visible row — drop the entry so reads stop opening it
+            # and history stays bounded under repeated merges (Iceberg
+            # drops fully-rewritten data files from the new snapshot the
+            # same way); the directory itself lives until
+            # expire_snapshots retires the manifests that reference it
+            on_disk = self._dir_partition_values(entry["path"])
+            col0 = self.partition_by[0]
+            if on_disk and on_disk <= set(entry["exclude"].get(col0, [])):
+                continue
             new_files.append(entry)
         nxt = (cur or 0) + 1
         d = self._write_data(df, nxt)
         return self._commit(new_files + [d], "replace_partitions")
+
+    def _dir_partition_values(self, path: str) -> set[str]:
+        """The hive partition values (dir-name strings) a data segment
+        holds for this table's single partition column."""
+        pre = f"{self.partition_by[0]}="
+        try:
+            return {n[len(pre):] for n in os.listdir(path) if n.startswith(pre)}
+        except FileNotFoundError:
+            return set()
+
+    def fragmented_partitions(self, col: str, min_segments: int = 2) -> list[str]:
+        """Partition values whose live rows span ≥ ``min_segments`` data
+        segments — the read-amplified subset an incremental maintenance
+        pass should rewrite (Iceberg: GROUP BY partition over the
+        ``.files`` metadata table). Values are hive dir-name strings,
+        directly consumable by :meth:`compact_partitions`."""
+        assert self.partition_by == (col,)
+        cur = self.current_snapshot()
+        if cur is None:
+            return []
+        counts: dict[str, int] = {}
+        for e in self._manifest(cur)["files"]:
+            excluded = set()
+            if not isinstance(e, str):
+                excluded = {str(v) for v in (e.get("exclude") or {}).get(col, [])}
+            for v in self._dir_partition_values(self._entry_path(e)) - excluded:
+                counts[v] = counts.get(v, 0) + 1
+        return sorted(v for v, n in counts.items() if n >= min_segments)
+
+    def compact_partitions(self, spark: SparkSession, col: str, values: list) -> int:
+        """Partition-scoped small-file compaction: rewrite ONLY the
+        listed partitions' rows into one fresh segment (Iceberg:
+        ``rewrite_data_files(where => "col IN (...)")``). Cost is
+        O(listed partitions), never O(table) — this is what keeps a
+        streaming index's maintenance incremental: each pass folds the
+        buckets fragmented since the last pass and leaves every other
+        bucket's files byte-identical (no read-amp reset for data that
+        didn't move). Contents unchanged; tags carry forward."""
+        sub = self.read_partitions(spark, col, values)
+        if sub is None:
+            return self.current_snapshot() or 0
+        return self.replace_partitions(spark, sub, {col: list(values)})
 
     def merge(
         self,
@@ -404,6 +492,28 @@ class SnapshotTable(VersionedTable):
             p = os.path.realpath(os.path.join(self.data_dir, name))
             if p not in live:
                 shutil.rmtree(p, ignore_errors=True)
+        # inside kept segments, a partition subdir that EVERY kept
+        # manifest referencing the segment excludes can never be read
+        # again — reclaim it (the storage tail of compact_partitions:
+        # the rewritten buckets' old files, like Iceberg expiring the
+        # files a scoped rewrite_data_files replaced)
+        if len(self.partition_by) != 1:
+            return
+        col = self.partition_by[0]
+        views: dict[str, list[set[str]]] = {}
+        for s in keep:
+            mp = os.path.join(self.snap_dir, f"{s:07d}.json")
+            if not os.path.exists(mp):
+                continue
+            for e in self._manifest(s)["files"]:
+                p = os.path.realpath(self._entry_path(e))
+                exc = set()
+                if not isinstance(e, str):
+                    exc = {str(v) for v in (e.get("exclude") or {}).get(col, [])}
+                views.setdefault(p, []).append(exc)
+        for p, excs in views.items():
+            for v in sorted(set.intersection(*excs)):
+                shutil.rmtree(os.path.join(p, f"{col}={v}"), ignore_errors=True)
 
     def rollback_to(self, snapshot: int) -> None:
         """Point CURRENT back to an older snapshot (resume-after-kill)."""

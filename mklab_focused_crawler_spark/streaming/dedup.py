@@ -302,7 +302,12 @@ def _lsh_process_batch(
     bands_t, shingles_t = tables["bands"], tables["shingles"]
     pairs_t, hot_t = tables["pairs"], tables["hot"]
     btag = f"b{batch_id}"
-    stats = {"touched_key_buckets": 0, "probe_files": [], "new_pairs": None}
+    stats = {
+        "touched_key_buckets": 0,
+        "touched_buckets": [],
+        "probe_files": [],
+        "new_pairs": None,
+    }
     corpus = batch_df.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
@@ -333,6 +338,7 @@ def _lsh_process_batch(
         else []
     )
     stats["touched_key_buckets"] = len(touched)
+    stats["touched_buckets"] = sorted(touched)
 
     # pruned index read: ONLY this batch's buckets' partition dirs
     old_touched = (
@@ -494,15 +500,25 @@ def _lsh_process_batch(
         bands_t.append(new_bands, tag=btag)
     shingles_t.append(new_sh, tag=btag)
     if compact_every and (batch_id + 1) % compact_every == 0:
-        # fold the per-batch segments into one partitioned segment
-        # (reads otherwise union one scan per micro-batch ever
-        # ingested), then drop the superseded history — an ingestion
-        # index doesn't need time travel to its intermediate states.
-        # This is the amortized O(index) maintenance pass; everything
-        # per-batch above is partition-pruned.
-        for t in (bands_t, shingles_t):
-            t.compact(spark)
+        # incremental maintenance: fold ONLY the buckets fragmented
+        # since the last pass (a bucket's rows spanning ≥2 segments)
+        # into one fresh segment, then retire the superseded history —
+        # an ingestion index doesn't need time travel to intermediate
+        # states. Cost ∝ recently-touched buckets, never O(index):
+        # buckets no batch touched since their last fold keep their
+        # files byte-identical (pinned by
+        # test_streaming_lsh_maintenance_is_partition_scoped).
+        for t, pcol in ((bands_t, "key_bucket"), (shingles_t, "doc_bucket")):
+            frag = t.fragmented_partitions(pcol)
+            if frag:
+                t.compact_partitions(spark, pcol, frag)
+            t.prune_tags([btag])
             t.expire_snapshots(keep_last=1)
+        # tag-ledger retention on the append-only stores too: during
+        # batch N only N itself can still replay (earlier offsets are
+        # checkpoint-committed), so every older tag is dead weight
+        for t in (pairs_t, hot_t):
+            t.prune_tags([btag])
     for h in (sigs, new_bands, hot, cand, got):
         if h is not None:
             h.unpersist()
@@ -600,8 +616,10 @@ def run_streaming_duplicate_clusters(
     (:func:`run_streaming_lsh_dedup` — this function maintains the same
     band/shingle/pair stores and adds two):
 
-    - ``content_groups`` (SnapshotTable): (text_hash, doc_id) appended
-      per batch — the exact-duplicate groups across ALL batches. Needed
+    - ``content_groups`` (SnapshotTable, PARTITIONED by ``doc_bucket``
+      so maintenance folds only recently-touched buckets):
+      (text_hash, doc_id) appended per batch — the exact-duplicate
+      groups across ALL batches. Needed
       because empty-shingle exact duplicates never reach the band index
       (they can't verify ≥ the Jaccard gate) yet DO cluster; the batch
       operator gets them from its members arrays.
@@ -638,7 +656,9 @@ def run_streaming_duplicate_clusters(
     from ..storage.snapshot import SnapshotTable
 
     tables = _make_lsh_tables(store_root)
-    groups_t = SnapshotTable(store_root, "content_groups")
+    groups_t = SnapshotTable(
+        store_root, "content_groups", partition_by=("doc_bucket",)
+    )
     clusters_t = SnapshotTable(store_root, "clusters", partition_by=("doc_bucket",))
     state: dict = {"uf": None, "canon": None, "distributed": False}
 
@@ -763,10 +783,16 @@ def _clusters_process_batch(
     hashed = batch_df.filter(F.col("text").isNotNull()).select(
         F.md5(ascii_lower(F.trim(F.col("text")))).alias("text_hash"),
         F.col("doc_id").cast("long").alias("doc_id"),
-    )
+        F.pmod(F.col("doc_id").cast("long"), F.lit(LSH_KEY_BUCKETS))
+        .cast("int")
+        .alias("doc_bucket"),
+    ).persist()
     # a replayed batch's groups append is a tag no-op, and its edge fold
-    # below is a monotone no-op (empty delta) — no special-casing needed
-    groups_t.append(hashed, tag=f"b{batch_id}")
+    # below is a monotone no-op (empty delta) — no special-casing needed.
+    # Empty guard: a 0-row write to a partitioned table would leave a
+    # parquet-less partition dir that breaks later per-dir reads.
+    if hashed.count() > 0:
+        groups_t.append(hashed, tag=f"b{batch_id}")
 
     driver_rows = 0
     if distributed:
@@ -816,10 +842,16 @@ def _clusters_process_batch(
         stats_out.append(
             {"batch_id": batch_id, "mode": mode, "driver_rows": driver_rows}
         )
+    hashed.unpersist()
     if compact_every and (batch_id + 1) % compact_every == 0:
-        # groups accumulates one segment per batch like the LSH stores;
-        # clusters accumulates merge-on-read exclusion history
-        groups_t.compact(spark)
-        groups_t.expire_snapshots(keep_last=1)
-        clusters_t.compact(spark)
-        clusters_t.expire_snapshots(keep_last=1)
+        # incremental maintenance on both stores: fold only the doc
+        # buckets fragmented since the last pass (groups appends one
+        # segment per batch; clusters' merge-on-read exclusion history
+        # additionally self-cleans — fully-excluded segments drop from
+        # the manifest) — never an O(store) rewrite
+        for t in (groups_t, clusters_t):
+            frag = t.fragmented_partitions("doc_bucket")
+            if frag:
+                t.compact_partitions(spark, "doc_bucket", frag)
+            t.prune_tags([f"b{batch_id}"])
+            t.expire_snapshots(keep_last=1)

@@ -74,9 +74,17 @@ def run_streaming_ivf_ingest(
             index.append(assigned, tag=f"b{batch_id}")
         assigned.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
-            # fold per-batch segments into one partitioned segment and
-            # drop superseded history (see streaming/dedup.py rationale)
-            index.compact(batch_df.sparkSession)
+            # incremental maintenance: fold only the lists fragmented
+            # since the last pass; untouched lists' files don't move
+            # (see streaming/dedup.py rationale)
+            frag = index.fragmented_partitions("list_id")
+            if frag:
+                index.compact_partitions(
+                    batch_df.sparkSession, "list_id", frag
+                )
+            # only the current batch can still replay — older tags are
+            # past the checkpoint horizon (interface.prune_tags rule)
+            index.prune_tags([f"b{batch_id}"])
             index.expire_snapshots(keep_last=1)
 
     q = (

@@ -136,6 +136,72 @@ def test_compact_and_expire(spark, tmp_path):
         t.read(spark, snapshot=1)
 
 
+def test_compact_partitions_is_partition_scoped(spark, tmp_path):
+    """compact_partitions rewrites ONLY the listed partitions: contents
+    unchanged, the untouched partition's files byte-identical (same
+    paths, same mtimes — its data never moved), the folded partition
+    down to one live segment. fragmented_partitions names exactly the
+    multi-segment values."""
+    import os
+
+    t = SnapshotTable(str(tmp_path), "pidx", partition_by=("b",))
+    # bucket 0 written once; bucket 1 fragmented across three appends
+    t.append(spark.createDataFrame([(1, 0), (2, 1)], "x long, b int"))
+    t.append(spark.createDataFrame([(3, 1)], "x long, b int"))
+    t.append(spark.createDataFrame([(4, 1)], "x long, b int"))
+    before = {(r["x"], r["b"]) for r in t.read(spark).collect()}
+
+    assert t.fragmented_partitions("b") == ["1"]
+    def _local(f):
+        return f.removeprefix("file://")
+
+    untouched = sorted(
+        (f, os.path.getmtime(_local(f)))
+        for f in t.read_partitions(spark, "b", [0]).inputFiles()
+    )
+
+    t.compact_partitions(spark, "b", t.fragmented_partitions("b"))
+    assert {(r["x"], r["b"]) for r in t.read(spark).collect()} == before
+    # bucket 0's files did not move; bucket 1 folded to one segment
+    assert sorted(
+        (f, os.path.getmtime(_local(f)))
+        for f in t.read_partitions(spark, "b", [0]).inputFiles()
+    ) == untouched
+    assert t.fragmented_partitions("b") == []
+    one_dir = {f.rsplit("/part-", 1)[0] for f in
+               t.read_partitions(spark, "b", [1]).inputFiles()}
+    assert len(one_dir) == 1
+
+    # expiry reclaims the folded bucket's superseded subdirs AND keeps
+    # the untouched bucket's segment alive
+    t.expire_snapshots(keep_last=1)
+    assert {(r["x"], r["b"]) for r in t.read(spark).collect()} == before
+    live = {
+        os.path.join(d, e)
+        for d in os.listdir(t.data_dir)
+        for e in os.listdir(os.path.join(t.data_dir, d))
+        if e.startswith("b=")
+    }
+    assert sum(e.endswith("b=1") for e in live) == 1
+
+
+def test_merge_history_self_cleans(spark, tmp_path):
+    """Repeated partition-scoped merges on the same bucket keep the
+    manifest bounded: a segment whose every partition is shadowed drops
+    out of the file list (reads never open it again), so merge history
+    does not accumulate one exclusion entry per batch forever."""
+    t = SnapshotTable(str(tmp_path), "midx", partition_by=("b",))
+    for i in range(6):
+        t.merge(
+            spark,
+            spark.createDataFrame([(1, i, 0)], "k long, v long, b int"),
+            key="k",
+        )
+    assert [(r["k"], r["v"], r["b"]) for r in t.read(spark).collect()] == [(1, 5, 0)]
+    files = t._manifest(t.current_snapshot())["files"]
+    assert len(files) == 1  # every superseded segment dropped, not excluded
+
+
 def test_read_partitions_prunes_to_touched_dirs(spark, tmp_path):
     """read_partitions scans ONLY the listed partitions' files — the
     property that turns a key-bucketed SnapshotTable into an index
@@ -155,6 +221,27 @@ def test_read_partitions_prunes_to_touched_dirs(spark, tmp_path):
     assert SnapshotTable(str(tmp_path), "nope", partition_by=("b",)).read_partitions(
         spark, "b", [1]
     ) is None
+
+
+def test_prune_tags_checkpoint_horizon(spark, tmp_path):
+    """The tag ledger is prunable to the replay horizon: tags for
+    checkpoint-committed batches drop, the live batch's tag keeps its
+    idempotence guarantee, and the ledger stays bounded instead of
+    growing one entry per batch forever."""
+    t = SnapshotTable(str(tmp_path), "ptags")
+    df = spark.createDataFrame([(1,)], "x long")
+    for i in range(4):
+        t.append(df, tag=f"b{i}")
+    assert all(t.has_tag(f"b{i}") for i in range(4))
+    t.prune_tags(["b3"])
+    assert t.has_tag("b3") and not t.has_tag("b2")
+    t.append(df, tag="b3")  # replay of the live batch is still a no-op
+    assert t.read(spark).count() == 4
+    t.append(df, tag="b4")
+    assert t._manifest(t.current_snapshot())["tags"] == ["b3", "b4"]
+    t.prune_tags(["b4"])  # idempotent re-prune is a no-op commit
+    snap = t.current_snapshot()
+    assert t.prune_tags(["b4"]) == snap
 
 
 def test_has_tag_matches_append_ledger(spark, tmp_path):

@@ -373,12 +373,14 @@ def test_streaming_ivf_index_matches_batch(spark, tmp_path):
     data_dirs = [
         os.path.join(index.data_dir, d) for d in os.listdir(index.data_dir)
     ]
-    # batches 0-1 appended then compacted+expired to ONE segment;
-    # batch 2 appended a second — maintenance ran inside the stream
-    assert len(data_dirs) == 2
     assert any(
         e.startswith("list_id=") for d in data_dirs for e in os.listdir(d)
     )
+    # maintenance ran inside the stream (partition-scoped): after the
+    # batch-1 fold + the batch-2 append, no list's live rows span more
+    # than 2 segments (one compacted + at most one post-fold append) —
+    # bounded per-list read amplification however long the stream runs
+    assert index.fragmented_partitions("list_id", min_segments=3) == []
 
 
 def test_streaming_duplicate_clusters_match_batch(spark, tmp_path):
@@ -602,6 +604,77 @@ def test_streaming_lsh_probe_scans_only_touched_buckets(spark, tmp_path):
     assert len(scanned_buckets) < len(total_buckets)
 
 
+def test_streaming_lsh_maintenance_is_partition_scoped(spark, tmp_path):
+    """The compact_every pass must be incremental: it folds ONLY the
+    buckets fragmented since the last pass — a bucket no recent batch
+    touched keeps its files byte-identical (paths + mtimes), so
+    maintenance cost is ∝ recent ingestion, never ∝ the accumulated
+    index; and right after a pass no bucket's live rows span ≥2
+    segments (bounded read amplification for the probe join)."""
+    import os
+
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        _lsh_process_batch,
+        _make_lsh_tables,
+    )
+
+    def frame(prefix, n):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(n),
+                    "text": [
+                        " ".join(f"{prefix}{d}w{i}" for i in range(12))
+                        for d in range(n)
+                    ],
+                }
+            )
+        )
+
+    wide0, wide1 = frame("a", 120), frame("b", 120)
+    tiny2, tiny3 = frame("c", 1), frame("d", 1)
+
+    # band keys are content hashes — a dry run against a scratch store
+    # reveals which buckets the upcoming tiny batches will touch
+    scratch = _make_lsh_tables(str(tmp_path / "scratch"))
+    upcoming = set(
+        _lsh_process_batch(tiny2, 0, scratch, None, None, spark)["touched_buckets"]
+    ) | set(
+        _lsh_process_batch(tiny3, 1, scratch, None, None, spark)["touched_buckets"]
+    )
+    assert len(upcoming) < 64  # some buckets stay quiet
+
+    tables = _make_lsh_tables(str(tmp_path / "store"))
+    _lsh_process_batch(wide0, 0, tables, None, 2, spark)
+    _lsh_process_batch(wide1, 1, tables, None, 2, spark)  # maintenance fires
+    bands_t = tables["bands"]
+    assert bands_t.fragmented_partitions("key_bucket") == []
+
+    def quiet_state():
+        out = []
+        for seg in sorted(os.listdir(bands_t.data_dir)):
+            segp = os.path.join(bands_t.data_dir, seg)
+            for d in sorted(os.listdir(segp)):
+                if not d.startswith("key_bucket="):
+                    continue
+                if int(d.split("=", 1)[1]) in upcoming:
+                    continue
+                dp = os.path.join(segp, d)
+                for f in sorted(os.listdir(dp)):
+                    p = os.path.join(dp, f)
+                    out.append((p, os.path.getmtime(p), os.path.getsize(p)))
+        return out
+
+    before = quiet_state()
+    assert before  # the invariant is vacuous without quiet buckets
+    _lsh_process_batch(tiny2, 2, tables, None, 2, spark)
+    _lsh_process_batch(tiny3, 3, tables, None, 2, spark)  # maintenance fires
+    assert quiet_state() == before  # quiet buckets' files never moved
+    assert bands_t.fragmented_partitions("key_bucket") == []
+
+
 def _write_batches(in_dir, frames):
     """Stage pandas frames as one parquet file per micro-batch, mtime-
     ordered so the file source replays them in list order."""
@@ -678,7 +751,7 @@ def test_streaming_clusters_replay_is_idempotent(spark, tmp_path):
     parts = [pdf[pdf.doc_id >= DUP_OFFSET], pdf[pdf.doc_id < DUP_OFFSET]]
     store = str(tmp_path / "cc_replay")
     tables = _make_lsh_tables(store)
-    groups_t = SnapshotTable(store, "content_groups")
+    groups_t = SnapshotTable(store, "content_groups", partition_by=("doc_bucket",))
     clusters_t = SnapshotTable(store, "clusters", partition_by=("doc_bucket",))
     state: dict = {"uf": None, "canon": None, "distributed": False}
     for i, part in enumerate(parts):
