@@ -66,6 +66,14 @@ QUADRATIC = {
     "ann_topk_multi": 100.0,
     "ivf_topk": 100.0,
     "embedding_near_dups": 100.0,
+    # r4 additions: semantic_dedup's within-cluster pair volume is the
+    # quadratic risk (n^2/k with the codebook retrained per corpus);
+    # the three corpus-hygiene maps are linear by construction and
+    # carry the linear bound to catch a lost pushdown / accidental join
+    "semantic_dedup": 100.0,
+    "doc_quality": 15.0,
+    "dataset_mix": 15.0,
+    "decontaminate": 15.0,
 }
 
 N_EMB_SF1 = 20_000

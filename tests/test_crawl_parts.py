@@ -391,9 +391,11 @@ def test_partition_scoped_merge(spark, tmp_path):
     t.merge(spark, updates, key="k")
     m = t._manifest(t.current_snapshot())
     assert m["op"] == "replace_partitions"
-    # the original file is retained with bucket 1 excluded
+    # the original file is retained with bucket 1 excluded (exclusion
+    # values are canonically hive dir-name STRINGS — compared in string
+    # space, never via IN-list type coercion)
     entries = [e for e in m["files"] if not isinstance(e, str)]
-    assert entries and entries[0]["exclude"] == {"bucket": [1]}
+    assert entries and entries[0]["exclude"] == {"bucket": ["1"]}
     got = {r["k"]: r["val"] for r in t.read(spark).collect()}
     want = {k: f"v{k}" for k in range(16)}
     want[1] = "UPD"
