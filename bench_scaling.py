@@ -102,9 +102,15 @@ def main() -> None:
     # hypervisor-neighbor memory-bandwidth contention that is invisible
     # to steal% — same code measured 79s..345s at local[8] — and only
     # best-of-many-windows rejects it).
-    state_path = None
+    # Window history accumulates in BENCH/scaling_state.json by default
+    # (best-of-many-windows is the protocol; a fresh 2-window run both
+    # loses the accumulated evidence and overwrites BASELINE.md with
+    # noisier estimators). --fresh opts out; --state FILE overrides.
+    state_path = os.path.join("BENCH", "scaling_state.json")
     if "--state" in sys.argv:
         state_path = sys.argv[sys.argv.index("--state") + 1]
+    elif "--fresh" in sys.argv:
+        state_path = None
     # --only N: re-attempt one level (with --state). local[8] needs 4x
     # the memory bandwidth, so neighbor contention poisons it far more
     # often than local[2]; extra attempts at just the sensitive level
@@ -240,11 +246,39 @@ target ≥ 0.8); all-window median {eff_med:.3f} (includes contended
 windows on both sides — the sandbox's weather, reported for
 uncertainty, not a code property).
 
+### Per-query bench protocol (bench.py, round 3+)
+
+`bench.py` reports min-of-N per query (default N=3 since round 4 —
+min-of-2 was measured missing the warm-plan cost when both passes
+landed in one contended window: r4 recorded minhash_lsh_pairs at 14.7s
+while the identical warm plan measures ~5s on a quiet window;
+`SPARK_GRAFT_BENCH_PASSES`; JSON fields `passes` /
+`per_query_estimator`) and best-of-N crawl subprocess runs, for the
+same reason the scaling table needs best/clean-median estimators: this
+box's co-tenant load produces 2-4x swings on identical warm plans
+(e.g. simhash_pairs 3.1s..19.9s same-day, same commit; the r02 commit's
+crawl iteration re-measured 8.9s -> 11.4s across days with zero code
+change). The min estimates the uncontended plan cost and stays
+comparable with earlier rounds' quiet-window single-pass numbers.
+
+Round-over-round composition note (r4): the query set grew 29 → 33
+(doc_quality, dataset_mix, semantic_dedup, decontaminate — the
+LLM-pipeline hygiene tier), so BENCH_r4's total carries ~12-13s of NEW
+work by construction; the carried-over 29 queries' sum measured flat
+vs r3 (≈85s) on this box's weather.
+
+Window history accumulates across invocations in
+`BENCH/scaling_state.json` (default; `--fresh` opts out) and spans
+rounds only while the crawl path (`operators/crawl.py`, `session.py`,
+this file's workload parameters) is unchanged — re-run `--fresh` after
+touching any of those.
+
 Commands:
 
 ```
-python bench_scaling.py            # both levels + this file
+python bench_scaling.py            # both levels + this file (accumulates windows)
 python bench_scaling.py --level 8  # single level, JSON line
+python bench_scaling.py --only 8   # extra windows for one level
 ```
 
 Raw per-iteration stats:
