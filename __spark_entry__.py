@@ -24,6 +24,7 @@ from mklab_focused_crawler_spark.operators import (
     quality,
     sampling,
     similarity,
+    substr_dedup,
     trending,
 )
 from mklab_focused_crawler_spark.functions import scoring, text, urls
@@ -516,6 +517,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": lambda s, d: decontam.decontaminate(
         load_table(s, d, "documents")
     ),
+    "substring_dedup": lambda s, d: substr_dedup.substring_dedup(
+        dedup.augment_corpus(load_table(s, d, "documents"))
+    ),
     "text_analysis": _q_text_analysis,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
         load_table(s, d, "events")
@@ -590,6 +594,7 @@ ORACLES: dict[str, str] = {
     "doc_quality": quality.doc_quality_signals_sql(),
     "dataset_mix": sampling.dataset_mix_sql(),
     "decontaminate": decontam.decontaminate_sql(),
+    "substring_dedup": substr_dedup.substring_dedup_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),
     "contributor_counts": trending.contributor_counts_sql(),

@@ -261,11 +261,11 @@ crawl iteration re-measured 8.9s -> 11.4s across days with zero code
 change). The min estimates the uncontended plan cost and stays
 comparable with earlier rounds' quiet-window single-pass numbers.
 
-Round-over-round composition note (r4): the query set grew 29 → 33
-(doc_quality, dataset_mix, semantic_dedup, decontaminate — the
-LLM-pipeline hygiene tier), so BENCH_r4's total carries ~12-13s of NEW
-work by construction; the carried-over 29 queries' sum measured flat
-vs r3 (≈85s) on this box's weather.
+Round-over-round composition note (r4): the query set grew 29 → 34
+(doc_quality, dataset_mix, semantic_dedup, decontaminate,
+substring_dedup — the LLM-pipeline hygiene tier), so BENCH_r4's total
+carries ~15s of NEW work by construction; the carried-over 29 queries'
+sum measured flat vs r3 (≈85s) on this box's weather.
 
 Window history accumulates across invocations in
 `BENCH/scaling_state.json` (default; `--fresh` opts out) and spans

@@ -171,3 +171,23 @@ def test_fuzz_doc_quality(spark, tmp_path_factory, texts):
     df = m.queries()["doc_quality"](spark, str(d))
     _compare(df, con, m.oracle_sql()["doc_quality"])
     con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+@example(texts=NASTY)
+# dense-collision corpus: one token repeated past GRAM_N (within-doc
+# overlapping duplicate grams) plus exact copies (cross-doc spans)
+@example(texts=["z " * 40, "z " * 40, "z " * 15 + "q r s", None, ""])
+def test_fuzz_substring_dedup(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    df = m.queries()["substring_dedup"](spark, str(d))
+    _compare(df, con, m.oracle_sql()["substring_dedup"])
+    con.close()
