@@ -20,7 +20,10 @@ from mklab_focused_crawler_spark.operators.terms import top_terms_per_source
 from mklab_focused_crawler_spark.operators import (
     decontam,
     dedup,
+    dsir,
     multimodal,
+    packing,
+    pii,
     quality,
     sampling,
     similarity,
@@ -520,6 +523,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": lambda s, d: substr_dedup.substring_dedup(
         dedup.augment_corpus(load_table(s, d, "documents"))
     ),
+    "pii_redact": lambda s, d: pii.pii_redact(
+        pii.augment_pii(load_table(s, d, "documents"))
+    ),
+    "dsir_weights": lambda s, d: dsir.dsir_weights(
+        load_table(s, d, "documents")
+    ),
+    "sequence_pack": lambda s, d: packing.sequence_pack(
+        load_table(s, d, "documents")
+    ),
     "text_analysis": _q_text_analysis,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
         load_table(s, d, "events")
@@ -595,6 +607,9 @@ ORACLES: dict[str, str] = {
     "dataset_mix": sampling.dataset_mix_sql(),
     "decontaminate": decontam.decontaminate_sql(),
     "substring_dedup": substr_dedup.substring_dedup_sql(),
+    "pii_redact": pii.pii_redact_sql(pii.augment_pii_sql()),
+    "dsir_weights": dsir.dsir_weights_sql(),
+    "sequence_pack": packing.sequence_pack_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),
     "contributor_counts": trending.contributor_counts_sql(),

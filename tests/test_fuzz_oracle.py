@@ -191,3 +191,34 @@ def test_fuzz_substring_dedup(spark, tmp_path_factory, texts):
     df = m.queries()["substring_dedup"](spark, str(d))
     _compare(df, con, m.oracle_sql()["substring_dedup"])
     con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+@example(texts=NASTY)
+# PII-shaped strings the planted fixture never produces: boundary
+# digits, glued categories, unicode around matches
+@example(
+    texts=[
+        "a@b.co 1.2.3.4x x1.2.3.4 999-99-9999 999-999-9999",
+        "ü@例.com 😀 192.168.0.1😀 [555-123-4567]",
+        None,
+        "",
+    ]
+)
+def test_fuzz_pii_dsir_packing(spark, tmp_path_factory, texts):
+    """The round-4 pipeline trio over adversarial corpora: regex
+    dialect (pii), det-log weight math (dsir), and window/cum-sum
+    integer packing — all vs their DuckDB twins."""
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    for q in ("pii_redact", "dsir_weights", "sequence_pack"):
+        df = m.queries()[q](spark, str(d))
+        _compare(df, con, m.oracle_sql()[q])
+    con.close()
