@@ -283,7 +283,31 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget stats: whitespace-word count vs GPT-2-style
+    pre-tokenizer piece count (functions/text.bpe_token_count), plus
+    codepoint and byte lengths — the units training-data size budgets
+    are quoted in. One narrow map, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        text.token_count(t).cast("int").alias("n_ws_tokens"),
+        text.bpe_token_count(t).cast("int").alias("n_bpe_tokens"),
+        F.length(t).cast("int").alias("n_chars"),
+        F.octet_length(t).cast("int").alias("n_bytes"),
+    )
+
+
 _T = "coalesce(text, '')"
+_TOKEN_STATS_SQL = f"""
+    SELECT doc_id,
+           CAST(len({text.tokenize_sql(_T)}) AS INT) AS n_ws_tokens,
+           CAST({text.bpe_token_count_sql(_T)} AS INT) AS n_bpe_tokens,
+           CAST(length({_T}) AS INT) AS n_chars,
+           CAST(strlen({_T}) AS INT) AS n_bytes
+    FROM documents ORDER BY doc_id
+"""
 _TEXT_ANALYSIS_SQL = f"""
     SELECT doc_id,
            CAST(len({text.tokenize_sql(_T)}) AS INT) AS n_tokens,
@@ -533,6 +557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "text_analysis": _q_text_analysis,
+    "token_stats": _q_token_stats,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
         load_table(s, d, "events")
     ),
@@ -611,6 +636,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": dsir.dsir_weights_sql(),
     "sequence_pack": packing.sequence_pack_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
+    "token_stats": _TOKEN_STATS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),
     "contributor_counts": trending.contributor_counts_sql(),
     "idf_windows": trending.idf_windows_sql(),

@@ -219,3 +219,40 @@ def fingerprint_sql(expr: str) -> str:
     toks = tokenize_sql(expr)
     # coalesce: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
     return f"md5(coalesce(array_to_string(list_sort(list_distinct({toks})), ' '), ''))"
+
+
+# --------------------------------------------------------------------------
+# BPE-ish subword pre-tokenization count (the GPT-2 pre-tokenizer split,
+# restricted to the Java∩RE2 regex core: no lookahead — RE2 has none —
+# so the original pattern's trailing `\s+(?!\S)` branch collapses into
+# the plain whitespace branch; token COUNTS are unchanged because the
+# two branches partition the same whitespace runs). Counting these
+# pieces approximates tokenizer-units-per-doc far better than
+# whitespace words (punctuation, contractions, and digit runs split the
+# way a trained BPE's pre-tokenizer would) — the standard budget metric
+# for training-data sizing.
+#
+# Whitespace is an EXPLICIT class, never `\s`: Java's \s includes
+# vertical tab, RE2's does not, and a VT adjacent to punctuation would
+# merge into one piece under RE2 but two under Java. \p{L}/\p{N} agree
+# between the engines for any codepoint in both Unicode tables (the
+# corpus is ASCII; the fuzz layer exercises BMP letters/digits/emoji).
+# --------------------------------------------------------------------------
+
+_WS = r" \t\n\x0b\f\r"
+BPE_SPLIT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of GPT-2-style pre-tokenizer pieces (whitespace runs that
+    precede a word attach to it; standalone whitespace counts once)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"

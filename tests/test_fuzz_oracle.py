@@ -218,7 +218,7 @@ def test_fuzz_pii_dsir_packing(spark, tmp_path_factory, texts):
 
     d = tmp_path_factory.mktemp("fuzz")
     sdf, con = _mk_tables(spark, d, texts)
-    for q in ("pii_redact", "dsir_weights", "sequence_pack"):
+    for q in ("pii_redact", "dsir_weights", "sequence_pack", "token_stats"):
         df = m.queries()[q](spark, str(d))
         _compare(df, con, m.oracle_sql()[q])
     con.close()
