@@ -74,6 +74,16 @@ QUADRATIC = {
     "doc_quality": 15.0,
     "dataset_mix": 15.0,
     "decontaminate": 15.0,
+    # substring dedup: dup-gram groupBy + occurrence join — candidate
+    # volume ∝ duplicated-gram occurrences, linear on the namespaced
+    # corpus (replicas share zero grams)
+    "substring_dedup": 15.0,
+    # round-4 pipeline maps: linear by construction; the bound catches
+    # a lost pushdown, an accidental join, or a collapsed partition
+    "pii_redact": 15.0,
+    "dsir_weights": 15.0,
+    "sequence_pack": 15.0,
+    "token_stats": 15.0,
 }
 
 N_EMB_SF1 = 20_000
