@@ -80,12 +80,18 @@ def doc_quality_signals(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, mean_token_len, dup_token_frac, top_2gram_frac,
     dup_3gram_frac, quality_pass) — one row per document."""
     t = F.coalesce(F.col("text"), F.lit(""))
-    toks = tokenize(t)
-    d = documents.select(
+    # Two-stage projection so `toks` is a materialized ATTRIBUTE when the
+    # n-gram views consume it: building g2/g3 from the tokenize Column
+    # object inlines the regex-split subtree at every reference (8 copies
+    # per row measured in the optimized plan). CollapseProject keeps the
+    # stages separate because the producer is a non-cheap multi-consumer
+    # expression.
+    base = documents.select("doc_id", tokenize(t).alias("toks"))
+    d = base.select(
         "doc_id",
-        toks.alias("toks"),
-        ngrams(toks, 2).alias("g2"),
-        ngrams(toks, 3).alias("g3"),
+        "toks",
+        ngrams(F.col("toks"), 2).alias("g2"),
+        ngrams(F.col("toks"), 3).alias("g3"),
     )
     n = F.size("toks")
     len_sum = F.aggregate(
