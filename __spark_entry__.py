@@ -21,6 +21,7 @@ from mklab_focused_crawler_spark.operators import (
     decontam,
     dedup,
     dsir,
+    lines,
     multimodal,
     packing,
     pii,
@@ -527,6 +528,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash,
     "jaccard_topk": _q_jaccard_topk,
     "duplicate_clusters": _q_dup_clusters,
+    "near_dup_filter": lambda s, d: dedup.near_dup_filter(
+        s, dedup.augment_corpus(load_table(s, d, "documents"))
+    ),
+    "line_dedup": lambda s, d: lines.line_dedup(
+        lines.augment_lines(load_table(s, d, "documents"))
+    ),
+    "repetition_signals": lambda s, d: lines.repetition_signals(
+        lines.augment_lines(load_table(s, d, "documents"))
+    ),
     "cosine_topk": _q_cosine_topk,
     "cosine_topk_gemm": _q_cosine_topk_gemm,
     "ann_topk": _q_ann_topk,
@@ -622,6 +632,9 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": dedup.simhash_pairs_sql(),
     "jaccard_topk": dedup.jaccard_topk_sql(),
     "duplicate_clusters": dedup.duplicate_clusters_sql(),
+    "near_dup_filter": dedup.near_dup_filter_sql(),
+    "line_dedup": lines.line_dedup_sql(),
+    "repetition_signals": lines.repetition_signals_sql(),
     "cosine_topk": similarity.cosine_topk_sql(),
     "cosine_topk_gemm": similarity.cosine_topk_gemm_sql(),
     "ann_topk": similarity.ann_topk_sql(),

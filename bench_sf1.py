@@ -84,6 +84,13 @@ QUADRATIC = {
     "dsir_weights": 15.0,
     "sequence_pack": 15.0,
     "token_stats": 15.0,
+    # line-level hygiene: line_dedup's join candidate volume is ∝
+    # duplicated-line occurrences (planted boilerplate repeats, so it
+    # grows linearly with docs); repetition_signals is a narrow map;
+    # near_dup_filter is duplicate_clusters + one id-only join
+    "line_dedup": 15.0,
+    "repetition_signals": 15.0,
+    "near_dup_filter": 15.0,
 }
 
 N_EMB_SF1 = 20_000

@@ -947,3 +947,46 @@ def duplicate_clusters_sql() -> str:
         SELECT src AS doc_id, least(min(dst), src) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id
     """
+
+
+def near_dup_filter(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, kept) over the FULL corpus — the filtered
+    corpus a training pipeline actually materializes downstream of
+    :func:`duplicate_clusters`: one survivor per duplicate component
+    (its min-doc_id canonical), every unclustered doc kept,
+    ``cluster_id`` null for singletons.
+
+    Plan: clusters (rows ∝ docs in any duplicate relation — a small
+    fraction of the corpus) on the RIGHT of a left join with the big
+    corpus streaming on the left; AQE broadcasts the cluster frame at
+    fixture scale and shuffle-hashes on doc_id at 100 TB. The corpus
+    text is projected away before the join — only 8-byte ids move.
+
+    Reference analog: the reference stores cluster membership and
+    serves de-duplicated results at query time
+    (``VisualClustererBolt.java:79-144``); a batch corpus pipeline
+    materializes the keep decision instead.
+    """
+    clusters = duplicate_clusters(spark, corpus)
+    ids = corpus.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return ids.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("kept"),
+    )
+
+
+def near_dup_filter_sql() -> str:
+    """DuckDB twin: the recursive-closure cluster oracle as a CTE, left
+    join back onto the corpus."""
+    return f"""
+        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        clusters AS ({duplicate_clusters_sql()})
+        SELECT c.doc_id, cl.cluster_id,
+               (cl.cluster_id IS NULL OR cl.cluster_id = c.doc_id) AS kept
+        FROM corpus c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+        ORDER BY c.doc_id
+    """

@@ -222,3 +222,26 @@ def test_fuzz_pii_dsir_packing(spark, tmp_path_factory, texts):
         df = m.queries()[q](spark, str(d))
         _compare(df, con, m.oracle_sql()[q])
     con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+@example(texts=NASTY)
+# the fuzz alphabet includes '\n', so fuzzed corpora exercise real
+# multi-line splits UNDER the deterministic augmentation: literal-vs-
+# regex newline split, trailing-empty-line retention, codepoint-length
+# eligibility, and string_agg vs array_join reconstruction must all
+# agree cross-engine
+def test_fuzz_line_ops(spark, tmp_path_factory, texts):
+    import __spark_entry__ as m
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    for q in ["line_dedup", "repetition_signals"]:
+        df = m.queries()[q](spark, str(d))
+        _compare(df, con, m.oracle_sql()[q])
+    con.close()
