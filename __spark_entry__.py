@@ -30,6 +30,7 @@ from mklab_focused_crawler_spark.operators import (
     similarity,
     substr_dedup,
     trending,
+    vocab,
 )
 from mklab_focused_crawler_spark.functions import scoring, text, urls
 from mklab_focused_crawler_spark.functions.text import STOPWORDS
@@ -551,6 +552,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mix": lambda s, d: sampling.dataset_mix(
         load_table(s, d, "documents")
     ),
+    "domain_quota": lambda s, d: sampling.domain_quota(
+        load_table(s, d, "documents")
+    ),
+    "bpe_merges": lambda s, d: vocab.bpe_merge_candidates(
+        load_table(s, d, "documents")
+    ),
     "decontaminate": lambda s, d: decontam.decontaminate(
         load_table(s, d, "documents")
     ),
@@ -643,6 +650,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": similarity.embedding_near_dups_sql(),
     "doc_quality": quality.doc_quality_signals_sql(),
     "dataset_mix": sampling.dataset_mix_sql(),
+    "domain_quota": sampling.domain_quota_sql(),
+    "bpe_merges": vocab.bpe_merge_candidates_sql(),
     "decontaminate": decontam.decontaminate_sql(),
     "substring_dedup": substr_dedup.substring_dedup_sql(),
     "pii_redact": pii.pii_redact_sql(pii.augment_pii_sql()),

@@ -91,6 +91,11 @@ QUADRATIC = {
     "line_dedup": 15.0,
     "repetition_signals": 15.0,
     "near_dup_filter": 15.0,
+    # domain_quota is two linear passes + a vocab-sized window;
+    # bpe_merges' only corpus-sized stage is the word groupBy (pair
+    # enumeration runs on the vocabulary, sub-linear by Heaps' law)
+    "domain_quota": 15.0,
+    "bpe_merges": 15.0,
 }
 
 N_EMB_SF1 = 20_000

@@ -63,6 +63,82 @@ def dataset_mix(
     )
 
 
+DOMAIN_QUOTA = 15
+# stage-1 salt fan-out: bounds the per-task sort at corpus/(S*sources)
+# rows and the survivor frame at S*quota rows per source
+QUOTA_SALT = 8
+
+
+def domain_quota(documents: DataFrame, quota: int = DOMAIN_QUOTA) -> DataFrame:
+    """(doc_id, source, kept) — cap each source at ``quota`` documents,
+    chosen by deterministic hash priority (the per-domain cap of public
+    crawl recipes: no single host/domain dominates the training mix).
+
+    kept == (row_number over (source) ordered by (h, doc_id)) <= quota,
+    computed WITHOUT a per-source window: a handful of hot sources make
+    `PARTITION BY source` the classic skewed low-parallelism sort at
+    100 TB (parallelism = #sources, one task sorts the hottest domain).
+    Instead:
+
+    1. salted partial top-k — window over (source, pmod(h, S)): S× the
+       parallelism, each task sorts 1/S of a source, keeps ``quota``;
+    2. exact threshold — the quota-th smallest (h, doc_id) per source
+       over the ≤ S·quota survivors (tiny);
+    3. one broadcast join back onto (doc_id, source, h) decides every
+       row: kept iff (h, doc_id) <= threshold, sources with < quota
+       docs have no threshold row ⇒ all kept.
+
+    The corpus is never globally sorted and never shuffled on the skew
+    key alone; text is projected away before any exchange. The draw
+    reuses the portable 60-bit hash so the DuckDB twin (a plain
+    windowed row_number) reproduces every decision bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    d = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        hash64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w1 = Window.partitionBy("source", F.pmod(F.col("h"), F.lit(QUOTA_SALT))).orderBy(
+        "h", "doc_id"
+    )
+    survivors = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= quota)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    thresholds = (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == quota)
+        .select("source", F.col("h").alias("th_h"), F.col("doc_id").alias("th_id"))
+    )
+    return d.join(F.broadcast(thresholds), "source", "left").select(
+        "doc_id",
+        "source",
+        (
+            F.col("th_h").isNull()
+            | (F.col("h") < F.col("th_h"))
+            | ((F.col("h") == F.col("th_h")) & (F.col("doc_id") <= F.col("th_id")))
+        ).alias("kept"),
+    )
+
+
+def domain_quota_sql(quota: int = DOMAIN_QUOTA) -> str:
+    """DuckDB twin: the skew-free three-stage plan is exactly a
+    windowed row_number at oracle scale."""
+    h = hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, source, (rn <= {quota}) AS kept FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {h}, doc_id) AS rn
+            FROM documents
+        ) ORDER BY doc_id
+    """
+
+
 def dataset_mix_sql(
     rates: dict[str, int] | None = None,
     default_ppm: int = DEFAULT_RATE_PPM,

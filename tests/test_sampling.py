@@ -67,3 +67,53 @@ def test_plan_is_one_narrow_filter(spark):
 def test_sql_twin_embeds_sorted_rates():
     sql = dataset_mix_sql({"z": 1, "a": 2})
     assert sql.index("'a' THEN 2") < sql.index("'z' THEN 1")
+
+
+def test_domain_quota_counts(spark):
+    """Each source keeps exactly min(quota, |source|) documents."""
+    from mklab_focused_crawler_spark.operators.sampling import domain_quota
+
+    docs = _docs(spark, 100, sources=("a", "b"))  # 50 per source
+    small = _docs(spark, 9, sources=("tiny",))  # below quota
+    got = domain_quota(docs.union(small), quota=12)
+    kept = (
+        got.filter("kept").groupBy("source").count().collect()
+    )
+    assert {r["source"]: r["count"] for r in kept} == {"a": 12, "b": 12, "tiny": 9}
+    assert got.count() == 109  # decision emitted for EVERY row
+
+
+def test_domain_quota_matches_plain_rank(spark):
+    """The salted two-phase threshold plan equals the straightforward
+    per-source window rank it replaces (independent brute force)."""
+    from mklab_focused_crawler_spark.operators.sampling import domain_quota
+    from mklab_focused_crawler_spark.functions.hashing import hash64
+
+    docs = _docs(spark, 400, sources=("a", "b", "c", "d", "e"))
+    rows = docs.select(
+        "doc_id", "source", hash64(F.col("doc_id").cast("string")).alias("h")
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["h"], r["doc_id"]))
+    expect = {}
+    for src, keys in by_src.items():
+        for rank, (_, doc) in enumerate(sorted(keys), start=1):
+            expect[doc] = rank <= 7
+    got = {r["doc_id"]: r["kept"] for r in domain_quota(docs, quota=7).collect()}
+    assert got == expect
+
+
+def test_domain_quota_broadcasts_thresholds(spark):
+    """The decision join must broadcast the tiny threshold frame — a
+    shuffle join on `source` would re-introduce the skew the operator
+    exists to avoid."""
+    from mklab_focused_crawler_spark.operators.sampling import domain_quota
+
+    plan = (
+        domain_quota(_docs(spark, 200))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
