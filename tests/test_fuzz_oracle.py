@@ -245,3 +245,30 @@ def test_fuzz_line_ops(spark, tmp_path_factory, texts):
         df = m.queries()[q](spark, str(d))
         _compare(df, con, m.oracle_sql()[q])
     con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=CORPUS)
+@example(texts=NASTY)
+def test_fuzz_vocab_and_quota(spark, tmp_path_factory, texts):
+    """bpe_merges: substr runs on tokens, which tokenize restricts to
+    ascii alnum — pinning that (Spark substr counts UTF-16 units,
+    DuckDB counts codepoints; any non-ascii reaching substr would
+    diverge on astral chars). domain_quota at quota=2 so tiny corpora
+    still exercise both kept and dropped branches."""
+    import __spark_entry__ as m
+    from mklab_focused_crawler_spark.operators.sampling import (
+        domain_quota,
+        domain_quota_sql,
+    )
+
+    d = tmp_path_factory.mktemp("fuzz")
+    sdf, con = _mk_tables(spark, d, texts)
+    df = m.queries()["bpe_merges"](spark, str(d))
+    _compare(df, con, m.oracle_sql()["bpe_merges"])
+    _compare(domain_quota(sdf, quota=2), con, domain_quota_sql(quota=2))
+    con.close()
