@@ -112,9 +112,23 @@ def domain_quota(documents: DataFrame, quota: int = DOMAIN_QUOTA) -> DataFrame:
     thresholds = (
         survivors.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == quota)
-        .select("source", F.col("h").alias("th_h"), F.col("doc_id").alias("th_id"))
+        .select(
+            # renamed: the frame derives from d, so joining back on a
+            # same-named column trips the ambiguous-self-join check
+            F.col("source").alias("th_src"),
+            F.col("h").alias("th_h"),
+            F.col("doc_id").alias("th_id"),
+        )
     )
-    return d.join(F.broadcast(thresholds), "source", "left").select(
+    # null-safe on source: the windows group NULL sources as one
+    # partition (both engines), so the decision join must match them
+    # too — a plain equi-join would leave every null-source doc
+    # thresholdless (kept) while the oracle's rank caps them
+    return d.join(
+        F.broadcast(thresholds),
+        F.col("source").eqNullSafe(F.col("th_src")),
+        "left",
+    ).select(
         "doc_id",
         "source",
         (

@@ -117,3 +117,17 @@ def test_domain_quota_broadcasts_thresholds(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_domain_quota_null_source_is_one_group(spark):
+    """NULL sources form one capped group, matching the oracle's
+    window-over-null-partition semantics (needs the null-safe join —
+    a plain equi-join would keep every null-source doc)."""
+    from mklab_focused_crawler_spark.operators.sampling import domain_quota
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("source")
+    )
+    got = domain_quota(docs, quota=4)
+    assert got.filter("kept").count() == 4
+    assert got.count() == 30
