@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize, tokenize_sql
 
 TOP_K = 50
+# BPE trainers cap the word length they merge over (HF tokenizers'
+# max_token_length): a single pathological unbroken token (minified
+# JS, base64 blobs) must not allocate a len-sized position array per
+# row here — or a max(len)-sized generate_series in the oracle.
+MAX_WORD_LEN = 1024
 
 
 def bpe_merge_candidates(documents: DataFrame, top_k: int = TOP_K) -> DataFrame:
@@ -40,7 +45,8 @@ def bpe_merge_candidates(documents: DataFrame, top_k: int = TOP_K) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.length("w") >= 2)  # single-symbol words carry no pair
+        # single-symbol words carry no pair; over-cap "words" are noise
+        .filter(F.length("w").between(2, MAX_WORD_LEN))
     )
 
     def _pair(w):
@@ -84,11 +90,12 @@ def bpe_merge_candidates_sql(top_k: int = TOP_K) -> str:
             SELECT unnest({toks}) AS w FROM documents
         ), wc AS (
             SELECT w, count(*) AS c FROM toks GROUP BY w
+            HAVING length(w) BETWEEN 2 AND {MAX_WORD_LEN}
         ), pos AS (
             SELECT w, c, i FROM wc
             CROSS JOIN (SELECT unnest(generate_series(
                 1, (SELECT max(length(w)) FROM wc) - 1)) AS i)
-            WHERE length(w) >= 2 AND i <= length(w) - 1
+            WHERE i <= length(w) - 1
         )
         SELECT substring(w, i, 1) AS pair_a,
                substring(w, i + 1, 1) AS pair_b,

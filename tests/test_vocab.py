@@ -74,3 +74,16 @@ def test_topk_cut_is_deterministic(spark):
         for r in bpe_merge_candidates(df, top_k=2).collect()
     ]
     assert got == [("a", "b"), ("c", "d")]
+
+
+def test_overlong_words_are_capped(spark):
+    """A pathological unbroken token (> MAX_WORD_LEN) contributes no
+    pairs — mirrored in the SQL twin's HAVING."""
+    from mklab_focused_crawler_spark.operators.vocab import MAX_WORD_LEN
+
+    df = _corpus(spark, ["x" * (MAX_WORD_LEN + 1), "ok"])
+    got = {
+        (r["pair_a"], r["pair_b"]): r["pair_count"]
+        for r in bpe_merge_candidates(df, top_k=10).collect()
+    }
+    assert got == {("o", "k"): 1}
