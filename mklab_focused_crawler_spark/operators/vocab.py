@@ -35,16 +35,27 @@ TOP_K = 50
 MAX_WORD_LEN = 1024
 
 
-def bpe_merge_candidates(documents: DataFrame, top_k: int = TOP_K) -> DataFrame:
-    """(pair_a, pair_b, pair_count) — the ``top_k`` most frequent
-    adjacent character pairs over the corpus word-frequency table,
-    ties broken by (pair_a, pair_b) so the cut is deterministic."""
-    words = (
+def word_counts(documents: DataFrame) -> DataFrame:
+    """(w, c) — the corpus word-frequency table: the only corpus-sized
+    stage of merge counting (one map-side-combined shuffle). Split out
+    so the streaming vocabulary store (streaming/vocab.py) can append
+    per-batch partials of exactly this frame — counts are additive."""
+    return (
         documents.select(
             F.explode(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias("w")
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def merge_candidates_from_counts(
+    word_freq: DataFrame, top_k: int = TOP_K
+) -> DataFrame:
+    """Pair ranking over an already-built (w, c) table — vocabulary-
+    sized work, shared by the batch operator and the streamed store."""
+    words = (
+        word_freq
         # single-symbol words carry no pair; over-cap "words" are noise
         .filter(F.length("w").between(2, MAX_WORD_LEN))
     )
@@ -77,6 +88,13 @@ def bpe_merge_candidates(documents: DataFrame, top_k: int = TOP_K) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair_a", "pair_b")
         .limit(top_k)
     )
+
+
+def bpe_merge_candidates(documents: DataFrame, top_k: int = TOP_K) -> DataFrame:
+    """(pair_a, pair_b, pair_count) — the ``top_k`` most frequent
+    adjacent character pairs over the corpus word-frequency table,
+    ties broken by (pair_a, pair_b) so the cut is deterministic."""
+    return merge_candidates_from_counts(word_counts(documents), top_k)
 
 
 def bpe_merge_candidates_sql(top_k: int = TOP_K) -> str:

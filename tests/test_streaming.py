@@ -964,3 +964,101 @@ def test_streaming_exact_dedup_ttl_readmission(spark, tmp_path):
     # re-admission: doc 12 starts a NEW group (the unbounded mode — see
     # test_streaming_exact_dedup_matches_batch — would refine to (10, 3))
     assert by_doc[12] == (12, 1)
+
+
+def test_streaming_vocab_matches_batch(spark, tmp_path):
+    """Incremental vocabulary: stream the documents in 3 uneven
+    micro-batches with in-stream roll-up maintenance, then (a) the
+    aggregated store equals the batch word-frequency table and (b)
+    merge candidates over the store equal batch bpe_merge_candidates —
+    counts are additive, so only the plumbing (tags, roll-up,
+    partitioned reads) can break this."""
+    from mklab_focused_crawler_spark.operators.vocab import (
+        bpe_merge_candidates,
+        word_counts,
+    )
+    from mklab_focused_crawler_spark.streaming.vocab import (
+        run_streaming_vocab_ingest,
+        streaming_bpe_merges,
+        vocab_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas()
+    # uneven adversarial split: 1 doc / rest / empty-text heavy slice
+    frames = [pdf.iloc[:1], pdf.iloc[1:40], pdf.iloc[40:]]
+    in_dir = tmp_path / "in_vocab"
+    _write_batches(in_dir, frames)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "vocab_store")
+    vocab = run_streaming_vocab_ingest(
+        stream, store, str(tmp_path / "ckpt_vocab"), compact_every=2
+    )
+
+    got = {(r["w"], r["c"]) for r in vocab_counts(spark, store).collect()}
+    want = {(r["w"], r["c"]) for r in word_counts(docs).collect()}
+    assert got == want and len(want) > 0
+
+    cols = ("pair_a", "pair_b", "pair_count")
+    got_m = [
+        tuple(r[c] for c in cols)
+        for r in streaming_bpe_merges(spark, store).collect()
+    ]
+    want_m = [
+        tuple(r[c] for c in cols) for r in bpe_merge_candidates(docs).collect()
+    ]
+    assert got_m == want_m and len(want_m) > 0
+
+    # roll-up bounded the store: after the batch-1 fold + batch-2
+    # append no bucket's live rows span 3+ segments
+    assert vocab.fragmented_partitions("w_bucket", min_segments=3) == []
+
+    # restart from the committed checkpoint: availableNow sees no new
+    # files, nothing re-appends, totals unchanged (at-least-once replay
+    # would DOUBLE counts without the batch tags)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    run_streaming_vocab_ingest(stream2, store, str(tmp_path / "ckpt_vocab"))
+    again = {(r["w"], r["c"]) for r in vocab_counts(spark, store).collect()}
+    assert again == want
+
+
+def test_streaming_vocab_replayed_batch_is_noop(spark, tmp_path):
+    """Op-level replay: re-appending a batch's counts under its
+    committed tag must not change totals (the crash-after-commit-
+    before-checkpoint window)."""
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.streaming.vocab import (
+        _bucketed_counts,
+        run_streaming_vocab_ingest,
+        vocab_counts,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb aa", "bb cc"]})
+    in_dir = tmp_path / "in_replay"
+    _write_batches(in_dir, [pdf])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "replay_store")
+    vocab = run_streaming_vocab_ingest(stream, store, str(tmp_path / "ckpt_r"))
+    before = {(r["w"], r["c"]) for r in vocab_counts(spark, store).collect()}
+    # simulate the foreachBatch replay of batch 0 directly at the table
+    vocab.append(
+        _bucketed_counts(spark.createDataFrame(pdf)), tag="b0"
+    )
+    after = {(r["w"], r["c"]) for r in vocab_counts(spark, store).collect()}
+    assert after == before == {("aa", 2), ("bb", 2), ("cc", 1)}
