@@ -1062,3 +1062,178 @@ def test_streaming_vocab_replayed_batch_is_noop(spark, tmp_path):
     )
     after = {(r["w"], r["c"]) for r in vocab_counts(spark, store).collect()}
     assert after == before == {("aa", 2), ("bb", 2), ("cc", 1)}
+
+
+def test_streaming_domain_quota_matches_batch(spark, tmp_path):
+    """Incremental per-source quota: stream the documents (plus a
+    NULL-source group) in 3 uneven micro-batches; the survivor store
+    must equal batch domain_quota's kept set on the union — the fold is
+    monotone (top-k(A ∪ B) = top-k(top-k(A) ∪ B)), so only the plumbing
+    (partition-pruned fold, dedupe-before-rank, bounded state) can
+    break this. Adversarial by construction: later batches carry
+    hash-smaller docs that must EVICT earlier survivors."""
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.operators.sampling import (
+        DOMAIN_QUOTA,
+        domain_quota,
+    )
+    from mklab_focused_crawler_spark.streaming.quota import (
+        run_streaming_domain_quota,
+        streaming_quota_kept,
+    )
+
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+        .toPandas()
+    )
+    # a NULL-source group larger than the quota: the windows treat NULL
+    # as one partition, so the cap must bite there too
+    nulls = pd.DataFrame(
+        {"doc_id": range(900_000, 900_000 + DOMAIN_QUOTA + 5), "source": None}
+    )
+    full = pd.concat([pdf, nulls], ignore_index=True)
+    frames = [full.iloc[:1], full.iloc[1:300], full.iloc[300:]]
+    in_dir = tmp_path / "in_quota"
+    _write_batches(in_dir, frames)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "quota_store")
+    run_streaming_domain_quota(
+        stream, store, str(tmp_path / "ckpt_quota"), expire_every=2
+    )
+
+    got = {
+        (r["doc_id"], r["source"])
+        for r in streaming_quota_kept(spark, store).collect()
+    }
+    batch = domain_quota(spark.createDataFrame(full)).filter("kept")
+    want = {(r["doc_id"], r["source"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+    # the cap actually bit (some source exceeded quota and was trimmed)
+    assert len(want) < len(full)
+    # ...including the NULL-source group
+    assert sum(1 for _, s in got if s is None) == DOMAIN_QUOTA
+
+    # bounded state: no source holds more than quota survivors
+    per_src = (
+        streaming_quota_kept(spark, store)
+        .groupBy("source")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_src <= DOMAIN_QUOTA
+
+    # restart from the committed checkpoint: availableNow sees no new
+    # files, the store is untouched
+    stream2 = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    run_streaming_domain_quota(stream2, store, str(tmp_path / "ckpt_quota"))
+    again = {
+        (r["doc_id"], r["source"])
+        for r in streaming_quota_kept(spark, store).collect()
+    }
+    assert again == want
+
+
+def test_streaming_quota_replayed_fold_is_noop(spark, tmp_path):
+    """Op-level replay (the crash-after-commit-before-checkpoint
+    window): folding the SAME batch twice must leave the survivor set
+    unchanged — the union is deduped on doc_id before ranking, so a
+    replayed doc can't occupy two ranks and evict a legitimate
+    survivor. No idempotence tag needed (contrast streaming/vocab.py
+    where counts are additive and the tag is load-bearing)."""
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.storage.snapshot import SnapshotTable
+    from mklab_focused_crawler_spark.streaming.quota import (
+        QUOTA_NAME,
+        fold_quota_batch,
+        streaming_quota_kept,
+    )
+
+    store = str(tmp_path / "qstore")
+    table = SnapshotTable(store, QUOTA_NAME, partition_by=("src_bucket",))
+    b0 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "source": ["s1"] * 20 + ["s2"] * 20})
+    )
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40, 60), "source": ["s1"] * 10 + ["s3"] * 10})
+    )
+    fold_quota_batch(table, b0, quota=5)
+    fold_quota_batch(table, b1, quota=5)
+    want = {tuple(r) for r in streaming_quota_kept(spark, store).collect()}
+    fold_quota_batch(table, b1, quota=5)  # replay
+    got = {tuple(r) for r in streaming_quota_kept(spark, store).collect()}
+    assert got == want
+    assert {s for _, s in want} == {"s1", "s2", "s3"}
+    assert sum(1 for _, s in want if s == "s1") == 5  # cap bit on s1
+
+
+def test_streaming_quota_fold_is_partition_scoped(spark, tmp_path):
+    """Scale contract: a fold reads and rewrites ONLY the buckets its
+    batch's sources hash into — quiet buckets' files stay byte-
+    identical (paths + mtimes), so per-batch cost is ∝ the batch's
+    sources, never ∝ the accumulated store."""
+    import os
+
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.storage.snapshot import SnapshotTable
+    from mklab_focused_crawler_spark.streaming.quota import (
+        N_BUCKETS,
+        QUOTA_NAME,
+        fold_quota_batch,
+    )
+
+    store = str(tmp_path / "qstore")
+    table = SnapshotTable(store, QUOTA_NAME, partition_by=("src_bucket",))
+    wide = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(400),
+                "source": [f"src{i % 40}" for i in range(400)],
+            }
+        )
+    )
+    fold_quota_batch(table, wide, quota=5)
+
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1000, 1001], "source": ["src0", "src0"]})
+    )
+    touched = {
+        r[0]
+        for r in tiny.select(
+            F.pmod(F.xxhash64("source"), F.lit(N_BUCKETS))
+        ).distinct().collect()
+    }
+    assert len(touched) < N_BUCKETS
+
+    def quiet_state():
+        out = []
+        for seg in sorted(os.listdir(table.data_dir)):
+            segp = os.path.join(table.data_dir, seg)
+            for d in sorted(os.listdir(segp)):
+                if not d.startswith("src_bucket="):
+                    continue
+                if int(d.split("=", 1)[1]) in touched:
+                    continue
+                dp = os.path.join(segp, d)
+                for f in sorted(os.listdir(dp)):
+                    p = os.path.join(dp, f)
+                    out.append((p, os.path.getmtime(p), os.path.getsize(p)))
+        return out
+
+    before = quiet_state()
+    assert before  # vacuous without quiet buckets
+    fold_quota_batch(table, tiny, quota=5)
+    assert quiet_state() == before
