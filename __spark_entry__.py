@@ -28,6 +28,7 @@ from mklab_focused_crawler_spark.operators import (
     quality,
     sampling,
     similarity,
+    stats,
     substr_dedup,
     trending,
     vocab,
@@ -558,6 +559,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": lambda s, d: vocab.bpe_merge_candidates(
         load_table(s, d, "documents")
     ),
+    "shard_shuffle": lambda s, d: sampling.shard_shuffle(
+        load_table(s, d, "documents")
+    ),
+    "corpus_stats": lambda s, d: stats.corpus_stats(
+        load_table(s, d, "documents")
+    ),
     "decontaminate": lambda s, d: decontam.decontaminate(
         load_table(s, d, "documents")
     ),
@@ -652,6 +659,8 @@ ORACLES: dict[str, str] = {
     "dataset_mix": sampling.dataset_mix_sql(),
     "domain_quota": sampling.domain_quota_sql(),
     "bpe_merges": vocab.bpe_merge_candidates_sql(),
+    "shard_shuffle": sampling.shard_shuffle_sql(),
+    "corpus_stats": stats.corpus_stats_sql(),
     "decontaminate": decontam.decontaminate_sql(),
     "substring_dedup": substr_dedup.substring_dedup_sql(),
     "pii_redact": pii.pii_redact_sql(pii.augment_pii_sql()),

@@ -170,3 +170,57 @@ def dataset_mix_sql(
         ) WHERE sample_key < rate_ppm
         ORDER BY doc_id
     """
+
+
+N_SHARDS = 16
+
+
+def shard_shuffle(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """(doc_id, shard_id, pos) — deterministic global shuffle into
+    ``n_shards`` training-output shards: the write-side step of a data
+    pipeline (a training run wants pseudo-random document order and
+    fixed shard files, reproducibly).
+
+    The shuffle IS the hash: shard = pmod(h, n_shards), within-shard
+    position = rank of (h, doc_id). No global sort ever happens — at
+    100 TB this is ONE hash exchange on shard_id (shards are
+    hash-balanced, so no skewed reducer) followed by independent
+    per-shard sorts; pick n_shards so a shard's ids sort in one task
+    (the payload never moves here — this manifest is joined back or
+    the production writer uses repartition(shard).sortWithinPartitions
+    with the same keys). Re-running on a grown corpus re-shuffles (h
+    is corpus-independent per doc, but positions shift) — shards are a
+    WRITE artifact, not incremental state.
+
+    The draw reuses the portable 60-bit hash with a domain-separation
+    prefix ("shard:") so shard assignment is independent of
+    dataset_mix's sample draw; DuckDB reproduces every bit.
+    """
+    d = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        d.withColumn("shard_id", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard_id", "pos")
+    )
+
+
+def shard_shuffle_sql(n_shards: int = N_SHARDS) -> str:
+    h = hash64_sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, shard_id,
+               CAST(row_number() OVER (PARTITION BY shard_id
+                    ORDER BY h, doc_id) AS INT) AS pos
+        FROM (
+            SELECT doc_id, {h} AS h,
+                   CAST({h} % {n_shards} AS INT) AS shard_id
+            FROM documents
+        ) ORDER BY doc_id
+    """

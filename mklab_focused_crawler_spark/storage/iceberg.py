@@ -6,7 +6,9 @@ raises :class:`IcebergUnavailable` at construction unless the session
 actually has the Iceberg SQL extensions loaded. The method bodies are
 the real mapping (Spark SQL `MERGE INTO`, `writeTo().append()`,
 `VERSION AS OF`, snapshot-procedure calls), kept as executable code —
-not pseudocode — so a deployment with
+not pseudocode — but since this sandbox can never load the jars they
+are REVIEW-ONLY: exercised for the gate (`tests/test_storage_seam.py`)
+and the call-site seam audit, not end-to-end. A deployment with
 ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and a
 catalog config drops this class in where :class:`SnapshotTable` is used
 today (the engine only touches the :class:`VersionedTable` surface).
