@@ -272,3 +272,56 @@ def test_fuzz_vocab_and_quota(spark, tmp_path_factory, texts):
     _compare(df, con, m.oracle_sql()["bpe_merges"])
     _compare(domain_quota(sdf, quota=2), con, domain_quota_sql(quota=2))
     con.close()
+
+
+@given(texts=CORPUS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(texts=NASTY)
+@example(texts=[None, "", "   "])
+def test_fuzz_corpus_stats_and_shards(spark, tmp_path_factory, texts):
+    """corpus_stats over NULL text AND NULL source/lang: the rollup's
+    subtotal NULLs must stay distinguishable (gid) from genuinely-NULL
+    group values in both engines; shard_shuffle must stay a
+    permutation whatever the ids hash to."""
+    import duckdb as _duck
+
+    from mklab_focused_crawler_spark.operators.sampling import (
+        shard_shuffle,
+        shard_shuffle_sql,
+    )
+    from mklab_focused_crawler_spark.operators.stats import (
+        corpus_stats,
+        corpus_stats_sql,
+    )
+
+    d = tmp_path_factory.mktemp("fuzz_stats")
+    n = len(texts)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": pd.array(texts, dtype="string"),
+            # NULL group values every 3rd/4th row: subtotal rows must
+            # not collapse into them
+            "lang": pd.array(
+                [None if i % 3 == 0 else f"l{i % 2}" for i in range(n)],
+                dtype="string",
+            ),
+            "source": pd.array(
+                [None if i % 4 == 0 else f"s{i % 2}" for i in range(n)],
+                dtype="string",
+            ),
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }
+    )
+    path = f"{d}/documents.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    sdf = spark.read.parquet(path)
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    _compare(corpus_stats(sdf), con, corpus_stats_sql())
+    _compare(shard_shuffle(sdf, n_shards=4), con, shard_shuffle_sql(n_shards=4))
+    con.close()
