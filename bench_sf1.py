@@ -96,6 +96,10 @@ QUADRATIC = {
     # enumeration runs on the vocabulary, sub-linear by Heaps' law)
     "domain_quota": 15.0,
     "bpe_merges": 15.0,
+    # shard_shuffle: one hash exchange + per-shard sorts (n log n / N
+    # per task); corpus_stats: one Expand+aggregate pass — both linear
+    "shard_shuffle": 15.0,
+    "corpus_stats": 15.0,
 }
 
 N_EMB_SF1 = 20_000
