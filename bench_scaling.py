@@ -261,11 +261,16 @@ crawl iteration re-measured 8.9s -> 11.4s across days with zero code
 change). The min estimates the uncontended plan cost and stays
 comparable with earlier rounds' quiet-window single-pass numbers.
 
-Round-over-round composition note (r4): the query set grew 29 → 34
-(doc_quality, dataset_mix, semantic_dedup, decontaminate,
-substring_dedup — the LLM-pipeline hygiene tier), so BENCH_r4's total
-carries ~15s of NEW work by construction; the carried-over 29 queries'
-sum measured flat vs r3 (≈85s) on this box's weather.
+Round-over-round composition note (r4): the query set grew 29 → 45
+(the LLM-pipeline hygiene tier: doc_quality, dataset_mix,
+semantic_dedup, decontaminate, substring_dedup, pii_redact,
+dsir_weights, sequence_pack, token_stats, line_dedup,
+repetition_signals, near_dup_filter, domain_quota, bpe_merges,
+shard_shuffle, corpus_stats), so BENCH_r4's total carries ~20s of NEW
+work by construction. A full 46-entry run at the r4 HEAD (min-of-3,
+sf0.1) measured **64.6s total** — below r3's 85.4s despite the 16
+added queries (the scan-widening, general-n-ngrams and tokenize-once
+fixes, PLANS.md #20-22); the two newest queries cost 0.24s + 0.37s.
 
 Window history accumulates across invocations in
 `BENCH/scaling_state.json` (default; `--fresh` opts out) and spans
