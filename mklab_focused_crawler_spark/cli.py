@@ -1,0 +1,175 @@
+"""spark-submit job entrypoint: run a crawl as a cluster job.
+
+The north-star deployment shape is ``spark-submit --py-files
+dist/mklab_focused_crawler_spark.zip crawl_job.py ...`` — this module
+is the driver logic behind that thin repo-root script, so the same
+command line works as a bare ``python -m mklab_focused_crawler_spark.cli``
+in local mode and as a submitted job on a multi-executor cluster
+(reference analog: the Storm topology submit of
+``FocusedCrawlTopology``; SURVEY §2.1 — one topology jar + a config,
+here one zip + argv).
+
+Two fetch modes:
+
+- **page-store mode** (``--pages``): fetch is the politeness-bounded
+  claim-batch join against a parquet/Iceberg page store (columns
+  ``url, html, mime, redirect_to, shares, pub_ms``) — batch
+  re-processing of an already-materialized web; ``--fetch-join
+  bucketed`` switches to the storage-partitioned join for a
+  url-bucketed table.
+- **synthetic mode** (``--synthetic-pages``): the deterministic
+  generated web with column-expression fetch (cost ∝ claimed URLs) —
+  the scaling-protocol workload, usable as a smoke/benchmark job on
+  any cluster with no input data at all.
+
+Runs are resumable: the frontier / claims / documents / metrics
+snapshot tables live under ``--root``; ``--resume`` continues a
+partially-completed crawl from its committed iteration count (same
+contract as tests/test_crawl_loop.py::test_resume_from_snapshot).
+
+Session handling: under spark-submit the JVM gateway already exists
+(PYSPARK_GATEWAY_PORT is set) and the submitted ``--master``/conf must
+win, so the builder attaches without overriding; bare-python runs fall
+back to the local get_spark defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _session(master: str | None):
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+
+    if master:
+        return get_spark("crawl-job", master=master)
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # spark-submit launched this driver: inherit ITS master/conf
+        return SparkSession.builder.appName("crawl-job").getOrCreate()
+    return get_spark("crawl-job")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mklab_focused_crawler_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run (or resume) a crawl")
+    c.add_argument("--root", required=True, help="snapshot-table store dir")
+    c.add_argument("--iterations", type=int, default=4)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--master", default=None)
+    c.add_argument("--window-ms", type=int, default=1000)
+    c.add_argument("--ttl-iterations", type=int, default=None)
+    c.add_argument(
+        "--seen-filter", choices=["bloom", "cuckoo", "none"], default="bloom"
+    )
+    # page-store mode
+    c.add_argument("--pages", default=None, help="page-store parquet path")
+    c.add_argument("--robots", default=None, help="robots parquet path")
+    c.add_argument("--seeds", default=None, help="seeds parquet path")
+    c.add_argument(
+        "--fetch-join", choices=["broadcast", "bucketed"], default="broadcast"
+    )
+    # synthetic mode
+    c.add_argument("--synthetic-pages", type=int, default=None)
+    c.add_argument("--hosts", type=int, default=100)
+    c.add_argument("--seed-count", type=int, default=50)
+
+    ln = sub.add_parser(
+        "lineage", help="print a crawl's per-partition lineage as JSON lines"
+    )
+    ln.add_argument("--root", required=True)
+    ln.add_argument("--master", default=None)
+    return p
+
+
+def _run_crawl(args) -> dict:
+    from .operators.crawl import CrawlLoop
+
+    spark = _session(args.master)
+    synth = args.synthetic_pages is not None
+    if synth == (args.pages is not None):
+        raise SystemExit("exactly one of --pages or --synthetic-pages required")
+
+    loop_kw = dict(
+        window_ms=args.window_ms,
+        ttl_iterations=args.ttl_iterations,
+        seen_filter=None if args.seen_filter == "none" else args.seen_filter,
+    )
+    if synth:
+        from .sources.synthetic_web import (
+            generate_meta,
+            generate_redirects,
+            generate_robots,
+            generate_seeds,
+            synthetic_fetch,
+        )
+
+        n, h = args.synthetic_pages, args.hosts
+        robots = generate_robots(spark, h)
+        seeds = generate_seeds(spark, n, args.seed_count, h)
+        redirect_map = generate_redirects(spark, n, h)
+        meta = generate_meta(spark, n, h)
+        pages = None
+        loop = CrawlLoop(
+            spark, args.root, fetch_fn=synthetic_fetch(n, h), **loop_kw
+        )
+        run_kw = dict(redirect_map=redirect_map, pages_meta=meta)
+    else:
+        if not (args.robots and (args.seeds or args.resume)):
+            raise SystemExit("--pages mode needs --robots and --seeds")
+        pages = spark.read.parquet(args.pages)
+        robots = spark.read.parquet(args.robots)
+        seeds = spark.read.parquet(args.seeds) if args.seeds else None
+        meta = pages.select("url", "shares", "pub_ms")
+        loop = CrawlLoop(spark, args.root, fetch_join=args.fetch_join, **loop_kw)
+        run_kw = {}
+
+    start = 0
+    if args.resume:
+        start = loop.completed_iterations()
+    else:
+        loop.init(seeds, meta)
+    stats = loop.run(
+        pages,
+        robots,
+        max_iterations=args.iterations,
+        start_iteration=start,
+        **run_kw,
+    )
+    loop.close()
+    urls = sum(s.get("claimed", 0) + s.get("scheduled", 0) for s in stats)
+    return {
+        "mode": "synthetic" if synth else "page-store",
+        "root": args.root,
+        "start_iteration": start,
+        "iterations": [{k: v for k, v in s.items() if k != "done"} for s in stats],
+        "urls": urls,
+        "completed_iterations": loop.completed_iterations(),
+    }
+
+
+def _run_lineage(args) -> None:
+    from .operators.crawl import CrawlLoop
+
+    spark = _session(args.master)
+    loop = CrawlLoop(spark, args.root)
+    for r in loop.lineage().collect():
+        print(json.dumps(r.asDict()))
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "crawl":
+        print(json.dumps(_run_crawl(args)))
+    elif args.cmd == "lineage":
+        _run_lineage(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
