@@ -85,6 +85,23 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ln.add_argument("--root", required=True)
     ln.add_argument("--master", default=None)
+
+    st = sub.add_parser(
+        "stream",
+        help="drain a parquet directory stream into an incremental store "
+        "(availableNow trigger: processes files committed since the "
+        "checkpoint, then exits — re-run to ingest more)",
+    )
+    st.add_argument(
+        "--op",
+        required=True,
+        choices=["lsh", "clusters", "vocab", "quota", "pack", "ivf"],
+    )
+    st.add_argument("--in", dest="in_dir", required=True, help="parquet dir")
+    st.add_argument("--store", required=True, help="incremental store root")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--compact-every", type=int, default=None)
+    st.add_argument("--master", default=None)
     return p
 
 
@@ -154,6 +171,50 @@ def _run_crawl(args) -> dict:
     }
 
 
+# op -> (file-stream schema, runner import path); every runner shares
+# the (stream, store_root, checkpoint_dir, ..., compact_every) shape
+# and the availableNow drain-then-exit trigger
+_STREAM_OPS = {
+    "lsh": ("doc_id long, text string", "dedup", "run_streaming_lsh_dedup"),
+    "clusters": (
+        "doc_id long, text string",
+        "dedup",
+        "run_streaming_duplicate_clusters",
+    ),
+    "vocab": ("doc_id long, text string", "vocab", "run_streaming_vocab_ingest"),
+    "quota": (
+        "doc_id long, source string",
+        "quota",
+        "run_streaming_domain_quota",
+    ),
+    "pack": (
+        "doc_id long, source string, text string",
+        "packing",
+        "run_streaming_sequence_pack",
+    ),
+    "ivf": (
+        "vec_id long, embedding array<float>",
+        "similarity",
+        "run_streaming_ivf_ingest",
+    ),
+}
+
+
+def _run_stream(args) -> dict:
+    import importlib
+
+    schema, mod_name, fn_name = _STREAM_OPS[args.op]
+    mod = importlib.import_module(f".streaming.{mod_name}", __package__)
+    fn = getattr(mod, fn_name)
+    spark = _session(args.master)
+    stream = spark.readStream.schema(schema).parquet(args.in_dir)
+    kw = {}
+    if args.compact_every is not None:
+        kw["compact_every"] = args.compact_every
+    fn(stream, args.store, args.checkpoint, **kw)
+    return {"op": args.op, "store": args.store, "drained": True}
+
+
 def _run_lineage(args) -> None:
     from .operators.crawl import CrawlLoop
 
@@ -167,6 +228,8 @@ def main(argv: list[str] | None = None) -> None:
     args = _build_parser().parse_args(argv)
     if args.cmd == "crawl":
         print(json.dumps(_run_crawl(args)))
+    elif args.cmd == "stream":
+        print(json.dumps(_run_stream(args)))
     elif args.cmd == "lineage":
         _run_lineage(args)
 

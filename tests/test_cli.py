@@ -126,3 +126,89 @@ def test_spark_submit_deployment(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["urls"] > 0 and out["completed_iterations"] == 1
+
+
+def test_cli_stream_vocab_and_quota(spark, tmp_path, capsys):
+    """The stream subcommand drains a parquet dir into the incremental
+    store; a second invocation with new files ingests ONLY them (the
+    availableNow + checkpoint contract), and totals match batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.streaming.vocab import vocab_counts
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb", "bb cc"]}),
+            preserve_index=False,
+        ),
+        str(in_dir / "b0.parquet"),
+    )
+    argv = [
+        "stream",
+        "--op",
+        "vocab",
+        "--in",
+        str(in_dir),
+        "--store",
+        str(tmp_path / "store"),
+        "--checkpoint",
+        str(tmp_path / "ckpt"),
+    ]
+    main(argv)
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["drained"]
+    got = {
+        (r["w"], r["c"])
+        for r in vocab_counts(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == {("aa", 1), ("bb", 2), ("cc", 1)}
+
+    # drop a second file; re-run drains just it
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [3], "text": ["cc cc"]}),
+            preserve_index=False,
+        ),
+        str(in_dir / "b1.parquet"),
+    )
+    main(argv)
+    capsys.readouterr()
+    got = {
+        (r["w"], r["c"])
+        for r in vocab_counts(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == {("aa", 1), ("bb", 2), ("cc", 3)}
+
+    # quota op over the same shape
+    from mklab_focused_crawler_spark.streaming.quota import streaming_quota_kept
+
+    (tmp_path / "qin").mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2, 3], "source": ["s", "s", "t"]}),
+            preserve_index=False,
+        ),
+        str(tmp_path / "qin" / "b0.parquet"),
+    )
+    main(
+        [
+            "stream",
+            "--op",
+            "quota",
+            "--in",
+            str(tmp_path / "qin"),
+            "--store",
+            str(tmp_path / "qstore"),
+            "--checkpoint",
+            str(tmp_path / "qckpt"),
+        ]
+    )
+    capsys.readouterr()
+    kept = {
+        tuple(r)
+        for r in streaming_quota_kept(spark, str(tmp_path / "qstore")).collect()
+    }
+    assert kept == {(1, "s"), (2, "s"), (3, "t")}
