@@ -149,6 +149,8 @@ def _run_crawl(args) -> dict:
 
     start = 0
     if args.resume:
+        if not loop.frontier.exists():
+            raise SystemExit(f"--resume: no crawl store at {args.root}")
         start = loop.completed_iterations()
     else:
         loop.init(seeds, meta)
