@@ -172,12 +172,15 @@ def test_every_query_partition_count_invariant(spark, name):
         if name in ("detect_events", "ann_topk_multi")
         else "/root/testdata/sf0.001"
     )
+    # None-safe sort key: rollup queries (corpus_stats) legitimately
+    # return NULL group values in subtotal rows
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = sorted(map(tuple, q(spark, sf).collect()))
+        a = sorted(map(tuple, q(spark, sf).collect()), key=key)
         spark.conf.set("spark.sql.shuffle.partitions", "17")
-        b = sorted(map(tuple, q(spark, sf).collect()))
+        b = sorted(map(tuple, q(spark, sf).collect()), key=key)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and len(a) > 0
