@@ -212,7 +212,10 @@ def _run_stream(args) -> dict:
     stream = spark.readStream.schema(schema).parquet(args.in_dir)
     kw = {}
     if args.compact_every is not None:
-        kw["compact_every"] = args.compact_every
+        # quota's fold rewrites touched buckets wholesale, so its only
+        # periodic maintenance is snapshot expiry — same cadence knob
+        knob = "expire_every" if args.op == "quota" else "compact_every"
+        kw[knob] = args.compact_every
     fn(stream, args.store, args.checkpoint, **kw)
     return {"op": args.op, "store": args.store, "drained": True}
 

@@ -212,3 +212,23 @@ def test_cli_stream_vocab_and_quota(spark, tmp_path, capsys):
         for r in streaming_quota_kept(spark, str(tmp_path / "qstore")).collect()
     }
     assert kept == {(1, "s"), (2, "s"), (3, "t")}
+
+
+def test_cli_stream_ops_accept_their_maintenance_knob():
+    """Every --op's runner must accept the knob the CLI maps
+    --compact-every onto (quota folds rewrite touched buckets wholesale,
+    so its cadence knob is snapshot expiry instead of compaction)."""
+    import importlib
+    import inspect
+
+    from mklab_focused_crawler_spark import cli
+
+    for op, (_schema, mod, fn_name) in cli._STREAM_OPS.items():
+        fn = getattr(
+            importlib.import_module(
+                f"mklab_focused_crawler_spark.streaming.{mod}"
+            ),
+            fn_name,
+        )
+        knob = "expire_every" if op == "quota" else "compact_every"
+        assert knob in inspect.signature(fn).parameters, (op, knob)
