@@ -70,6 +70,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     # page-store mode
     c.add_argument("--pages", default=None, help="page-store parquet path")
+    c.add_argument(
+        "--pages-table",
+        default=None,
+        help="page-store CATALOG table name (required for --fetch-join "
+        "bucketed: only a catalog table carries bucket metadata)",
+    )
     c.add_argument("--robots", default=None, help="robots parquet path")
     c.add_argument("--seeds", default=None, help="seeds parquet path")
     c.add_argument(
@@ -105,19 +111,52 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _run_crawl(args) -> dict:
-    from .operators.crawl import CrawlLoop
+_CLI_META = "cli_meta.json"
 
-    spark = _session(args.master)
+
+def _store_meta_path(root: str) -> str:
+    return os.path.join(root, _CLI_META)
+
+
+def _run_crawl(args) -> dict:
+    # ---- pure-argv validation BEFORE the session: a bad command line
+    # must not pay JVM startup (or cluster allocation under spark-submit)
     synth = args.synthetic_pages is not None
-    if synth == (args.pages is not None):
-        raise SystemExit("exactly one of --pages or --synthetic-pages required")
+    page_mode = args.pages is not None or args.pages_table is not None
+    if synth == page_mode:
+        raise SystemExit(
+            "exactly one of --pages/--pages-table or --synthetic-pages required"
+        )
+    if args.pages and args.pages_table:
+        raise SystemExit("--pages and --pages-table are mutually exclusive")
+    if args.fetch_join == "bucketed" and not args.pages_table:
+        # a bare parquet path reads WITHOUT bucket metadata — the
+        # storage-partitioned join silently degrades to a full shuffle
+        # of the html-bearing web per iteration
+        raise SystemExit("--fetch-join bucketed needs --pages-table")
+    if page_mode and not args.robots:
+        raise SystemExit("--pages mode needs --robots")
+    if page_mode and not (args.seeds or args.resume):
+        raise SystemExit("--pages mode needs --seeds (or --resume)")
+    if args.resume and not os.path.exists(args.root):
+        raise SystemExit(f"--resume: no crawl store at {args.root}")
 
     loop_kw = dict(
         window_ms=args.window_ms,
         ttl_iterations=args.ttl_iterations,
         seen_filter=None if args.seen_filter == "none" else args.seen_filter,
     )
+    if args.resume and os.path.exists(_store_meta_path(args.root)):
+        # the store's layout (TTL → doc_bucket-partitioned documents)
+        # and gate semantics are decided at creation — a resume with
+        # different flags would append a mismatched layout or change
+        # crawl semantics mid-run, so the recorded config wins
+        with open(_store_meta_path(args.root)) as f:
+            loop_kw.update(json.load(f))
+
+    from .operators.crawl import CrawlLoop
+
+    spark = _session(args.master)
     if synth:
         from .sources.synthetic_web import (
             generate_meta,
@@ -138,9 +177,11 @@ def _run_crawl(args) -> dict:
         )
         run_kw = dict(redirect_map=redirect_map, pages_meta=meta)
     else:
-        if not (args.robots and (args.seeds or args.resume)):
-            raise SystemExit("--pages mode needs --robots and --seeds")
-        pages = spark.read.parquet(args.pages)
+        pages = (
+            spark.table(args.pages_table)
+            if args.pages_table
+            else spark.read.parquet(args.pages)
+        )
         robots = spark.read.parquet(args.robots)
         seeds = spark.read.parquet(args.seeds) if args.seeds else None
         meta = pages.select("url", "shares", "pub_ms")
@@ -154,6 +195,17 @@ def _run_crawl(args) -> dict:
         start = loop.completed_iterations()
     else:
         loop.init(seeds, meta)
+        # record the layout/semantics-critical config so later --resume
+        # and lineage reconstruct the loop the store was created with
+        with open(_store_meta_path(args.root), "w") as f:
+            json.dump(
+                {
+                    "window_ms": loop_kw["window_ms"],
+                    "ttl_iterations": loop_kw["ttl_iterations"],
+                    "seen_filter": loop_kw["seen_filter"],
+                },
+                f,
+            )
     stats = loop.run(
         pages,
         robots,
@@ -223,8 +275,14 @@ def _run_stream(args) -> dict:
 def _run_lineage(args) -> None:
     from .operators.crawl import CrawlLoop
 
+    # reconstruct the creation-time config: a TTL store's documents
+    # table is doc_bucket-partitioned and reads wrongly without it
+    kw = {}
+    if os.path.exists(_store_meta_path(args.root)):
+        with open(_store_meta_path(args.root)) as f:
+            kw = json.load(f)
     spark = _session(args.master)
-    loop = CrawlLoop(spark, args.root)
+    loop = CrawlLoop(spark, args.root, **kw)
     for r in loop.lineage().collect():
         print(json.dumps(r.asDict()))
 

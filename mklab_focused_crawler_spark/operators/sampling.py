@@ -69,6 +69,35 @@ DOMAIN_QUOTA = 15
 QUOTA_SALT = 8
 
 
+def hashed_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, h) — the shared projection both the batch quota
+    and its streaming fold rank on; one definition so the draw and the
+    tie-break can never drift between the two (their parity is pinned
+    by test_streaming_domain_quota_matches_batch)."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        hash64(F.col("doc_id").cast("string")).alias("h"),
+    )
+
+
+def quota_candidates(hashed: DataFrame, quota: int = DOMAIN_QUOTA) -> DataFrame:
+    """Stage-1 salted partial top-k over a ``hashed_docs`` frame:
+    ≤ QUOTA_SALT·quota rows per source, an exact superset of the true
+    per-source top-quota (each salt lane keeps its own top-quota), with
+    S× the parallelism of a plain PARTITION BY source sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", F.pmod(F.col("h"), F.lit(QUOTA_SALT))).orderBy(
+        "h", "doc_id"
+    )
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .drop("rn")
+    )
+
+
 def domain_quota(documents: DataFrame, quota: int = DOMAIN_QUOTA) -> DataFrame:
     """(doc_id, source, kept) — cap each source at ``quota`` documents,
     chosen by deterministic hash priority (the per-domain cap of public
@@ -95,19 +124,8 @@ def domain_quota(documents: DataFrame, quota: int = DOMAIN_QUOTA) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "source",
-        hash64(F.col("doc_id").cast("string")).alias("h"),
-    )
-    w1 = Window.partitionBy("source", F.pmod(F.col("h"), F.lit(QUOTA_SALT))).orderBy(
-        "h", "doc_id"
-    )
-    survivors = (
-        d.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= quota)
-        .drop("rn")
-    )
+    d = hashed_docs(documents)
+    survivors = quota_candidates(d, quota)
     w2 = Window.partitionBy("source").orderBy("h", "doc_id")
     thresholds = (
         survivors.withColumn("rn", F.row_number().over(w2))

@@ -51,6 +51,11 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
 
 
 def corpus_stats_sql() -> str:
+    # HAVING count(*) > 0: on an EMPTY table ANSI ROLLUP still emits
+    # the grand-total row (n_docs=0) while Spark's rollup emits no rows
+    # (Expand of zero input rows); every group of a non-empty table has
+    # count ≥ 1, so the filter only reconciles the empty-corpus case —
+    # contract: empty corpus → empty result in BOTH engines
     toks = tokenize_sql("COALESCE(text, '')")
     return f"""
         SELECT source, lang,
@@ -60,5 +65,6 @@ def corpus_stats_sql() -> str:
                CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS n_chars
         FROM documents
         GROUP BY ROLLUP(source, lang)
+        HAVING count(*) > 0
         ORDER BY gid, source, lang
     """

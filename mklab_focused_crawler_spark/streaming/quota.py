@@ -36,8 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64
-from ..operators.sampling import DOMAIN_QUOTA, QUOTA_SALT
+from ..operators.sampling import DOMAIN_QUOTA, hashed_docs, quota_candidates
 from ..storage.snapshot import SnapshotTable
 
 QUOTA_NAME = "quota_survivors"
@@ -52,22 +51,11 @@ def _src_bucket() -> F.Column:
 
 
 def _batch_candidates(batch_df: DataFrame, quota: int) -> DataFrame:
-    """Salt-capped per-source candidates from one micro-batch:
-    ≤ QUOTA_SALT·quota rows per source, exact superset of the batch's
-    true top-quota (each salt lane keeps its own top-quota)."""
-    d = batch_df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "source",
-        hash64(F.col("doc_id").cast("string")).alias("h"),
-    )
-    w = Window.partitionBy("source", F.pmod(F.col("h"), F.lit(QUOTA_SALT))).orderBy(
-        "h", "doc_id"
-    )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= quota)
-        .drop("rn")
-        .withColumn("src_bucket", _src_bucket())
+    """Salt-capped per-source candidates from one micro-batch — the
+    SAME hash/ordering/cap stage as the batch operator (shared helpers,
+    so draw or tie-break changes can't silently break parity)."""
+    return quota_candidates(hashed_docs(batch_df), quota).withColumn(
+        "src_bucket", _src_bucket()
     )
 
 

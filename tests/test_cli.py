@@ -232,3 +232,105 @@ def test_cli_stream_ops_accept_their_maintenance_knob():
         )
         knob = "expire_every" if op == "quota" else "compact_every"
         assert knob in inspect.signature(fn).parameters, (op, knob)
+
+
+def test_cli_ttl_store_lineage_and_resume(spark, tmp_path, capsys):
+    """A TTL crawl's documents table is doc_bucket-partitioned; the
+    recorded store config must let lineage and --resume reconstruct
+    that layout WITHOUT the user re-passing --ttl-iterations (a
+    mismatched CrawlLoop would fail the multi-segment partitioned read
+    or append an unpartitioned segment)."""
+    root = str(tmp_path / "ttl_crawl")
+    base = [
+        "--synthetic-pages",
+        "300",
+        "--hosts",
+        "20",
+        "--seed-count",
+        "10",
+    ]
+    main(["crawl", "--root", root, *base, "--iterations", "3",
+          "--ttl-iterations", "5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["completed_iterations"] == 3
+
+    # lineage over >=2 partitioned document segments
+    main(["lineage", "--root", root])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    doc_segs = {r["file"] for r in rows if r["table"] == "documents"}
+    assert len(doc_segs) >= 2
+
+    # resume with NO ttl flag: stored config wins
+    main(["crawl", "--root", root, *base, "--iterations", "1", "--resume"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["start_iteration"] == 3 and out2["completed_iterations"] == 4
+
+
+def test_cli_bucketed_pages_table(spark, tmp_path, capsys):
+    """--fetch-join bucketed goes through a catalog table (the only
+    form carrying bucket metadata); a bare --pages path is rejected
+    up front instead of silently degrading to a full-web shuffle."""
+    from mklab_focused_crawler_spark.sources.synthetic_web import (
+        generate_pages,
+        generate_robots,
+        generate_seeds,
+    )
+
+    with pytest.raises(SystemExit, match="pages-table"):
+        main(["crawl", "--root", str(tmp_path / "x"), "--pages", "p.parquet",
+              "--robots", "r.parquet", "--seeds", "s.parquet",
+              "--fetch-join", "bucketed"])
+
+    (
+        generate_pages(spark, 250)
+        .repartition(4, "url")
+        .write.mode("overwrite")
+        .bucketBy(4, "url")
+        .option("path", str(tmp_path / "web"))
+        .saveAsTable("cli_bucketed_web")
+    )
+    try:
+        robots_p = str(tmp_path / "robots.parquet")
+        seeds_p = str(tmp_path / "seeds.parquet")
+        generate_robots(spark).write.parquet(robots_p)
+        generate_seeds(spark, 250, 10).write.parquet(seeds_p)
+        main(
+            [
+                "crawl",
+                "--root",
+                str(tmp_path / "store"),
+                "--pages-table",
+                "cli_bucketed_web",
+                "--robots",
+                robots_p,
+                "--seeds",
+                seeds_p,
+                "--fetch-join",
+                "bucketed",
+                "--iterations",
+                "2",
+            ]
+        )
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["mode"] == "page-store" and out["urls"] > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_bucketed_web")
+
+
+def test_cli_validation_runs_before_session(tmp_path, monkeypatch):
+    """Bad argv must error WITHOUT paying JVM/session startup."""
+    from mklab_focused_crawler_spark import cli
+
+    def boom(master):
+        raise AssertionError("session started before validation")
+
+    monkeypatch.setattr(cli, "_session", boom)
+    for argv in [
+        ["crawl", "--root", str(tmp_path)],  # no mode
+        ["crawl", "--root", str(tmp_path), "--pages", "p", "--synthetic-pages", "5"],
+        ["crawl", "--root", str(tmp_path), "--pages", "p"],  # no robots
+        ["crawl", "--root", str(tmp_path / "missing"), "--synthetic-pages", "5",
+         "--resume"],
+    ]:
+        with pytest.raises(SystemExit):
+            cli.main(argv)

@@ -65,3 +65,26 @@ def test_corpus_stats_single_expand_aggregate_plan(spark):
     plan = corpus_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Expand" in plan and "partial_count" in plan
+
+
+def test_corpus_stats_empty_corpus_both_engines_empty(spark, tmp_path):
+    """Empty-corpus contract: Spark's rollup emits no rows on empty
+    input while ANSI ROLLUP emits a count-0 grand total — the twin's
+    HAVING reconciles them, so both engines return 0 rows."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_spark.operators.stats import corpus_stats_sql
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string())]
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pylist([], schema=schema), path)
+    assert corpus_stats(spark.read.parquet(path)).count() == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    assert len(con.sql(corpus_stats_sql()).df()) == 0
+    con.close()
