@@ -22,6 +22,7 @@ from mklab_focused_crawler_spark.operators import (
     dedup,
     dsir,
     lines,
+    lm,
     multimodal,
     packing,
     pii,
@@ -577,6 +578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": lambda s, d: dsir.dsir_weights(
         load_table(s, d, "documents")
     ),
+    "ppl_buckets": lambda s, d: lm.ppl_buckets(load_table(s, d, "documents")),
     "sequence_pack": lambda s, d: packing.sequence_pack(
         load_table(s, d, "documents")
     ),
@@ -665,6 +667,7 @@ ORACLES: dict[str, str] = {
     "substring_dedup": substr_dedup.substring_dedup_sql(),
     "pii_redact": pii.pii_redact_sql(pii.augment_pii_sql()),
     "dsir_weights": dsir.dsir_weights_sql(),
+    "ppl_buckets": lm.ppl_buckets_sql(),
     "sequence_pack": packing.sequence_pack_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "token_stats": _TOKEN_STATS_SQL,

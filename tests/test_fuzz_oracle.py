@@ -211,14 +211,21 @@ def test_fuzz_substring_dedup(spark, tmp_path_factory, texts):
     ]
 )
 def test_fuzz_pii_dsir_packing(spark, tmp_path_factory, texts):
-    """The round-4 pipeline trio over adversarial corpora: regex
-    dialect (pii), det-log weight math (dsir), and window/cum-sum
-    integer packing — all vs their DuckDB twins."""
+    """The round-4 pipeline family over adversarial corpora: regex
+    dialect (pii), det-log weight math (dsir + ppl buckets — the
+    empty-LM clamp and OOV path only fuzz corpora exercise), and
+    window/cum-sum integer packing — all vs their DuckDB twins."""
     import __spark_entry__ as m
 
     d = tmp_path_factory.mktemp("fuzz")
     sdf, con = _mk_tables(spark, d, texts)
-    for q in ("pii_redact", "dsir_weights", "sequence_pack", "token_stats"):
+    for q in (
+        "pii_redact",
+        "dsir_weights",
+        "ppl_buckets",
+        "sequence_pack",
+        "token_stats",
+    ):
         df = m.queries()[q](spark, str(d))
         _compare(df, con, m.oracle_sql()[q])
     con.close()
