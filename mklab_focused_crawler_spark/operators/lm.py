@@ -76,34 +76,13 @@ HEAD_MICRO = 1_477_000
 MID_MICRO = 1_480_000
 
 
-def ppl_buckets(
-    documents: DataFrame,
-    reference_docs: DataFrame | None = None,
-    lm_mod: int = LM_MOD,
-) -> DataFrame:
-    """(doc_id, n_tokens, nlp_micro, ppl_bucket) for every document:
-    token count, total negative log10-probability in integer
-    micro-units, and the CCNet head/middle/tail bucket (token-less
-    documents land in 'empty')."""
-    docs = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
-    )
-    if reference_docs is None:
-        ref = docs.filter(
-            F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(lm_mod))
-            == F.lit(0)
-        )
-    else:
-        ref = reference_docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        )
-
-    ref_tokens = ref.select(
-        F.explode(tokenize(F.col("text"))).alias("w")
-    )
-    vocab = ref_tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+def score_with_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The scoring core: bucket every (doc_id, text) row against an
+    already-built unigram count table ``vocab`` = (w, c_w). Shared by
+    the batch operator (vocab from the reference hash slice) and the
+    streaming twin (vocab read from the incremental word-frequency
+    store, streaming/lm.py) — one kernel, so the two paths cannot
+    drift."""
     totals = vocab.agg(
         F.coalesce(F.sum("c_w"), F.lit(0)).alias("t_tot"),
         F.count(F.lit(1)).alias("v_size"),
@@ -149,6 +128,37 @@ def ppl_buckets(
         )
         .withColumn("ppl_bucket", bucket)
     )
+
+
+def ppl_buckets(
+    documents: DataFrame,
+    reference_docs: DataFrame | None = None,
+    lm_mod: int = LM_MOD,
+) -> DataFrame:
+    """(doc_id, n_tokens, nlp_micro, ppl_bucket) for every document:
+    token count, total negative log10-probability in integer
+    micro-units, and the CCNet head/middle/tail bucket (token-less
+    documents land in 'empty')."""
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    if reference_docs is None:
+        ref = docs.filter(
+            F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(lm_mod))
+            == F.lit(0)
+        )
+    else:
+        ref = reference_docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+
+    ref_tokens = ref.select(
+        F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    vocab = ref_tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    return score_with_vocab(docs, vocab)
 
 
 def ppl_buckets_sql(lm_mod: int = LM_MOD) -> str:

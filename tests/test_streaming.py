@@ -1237,3 +1237,51 @@ def test_streaming_quota_fold_is_partition_scoped(spark, tmp_path):
     assert before  # vacuous without quiet buckets
     fold_quota_batch(table, tiny, quota=5)
     assert quiet_state() == before
+
+
+def test_streaming_ppl_matches_batch(spark, tmp_path):
+    """Streaming perplexity bucketing: ingest the reference hash slice
+    into the incremental vocabulary store in 3 adversarial micro-
+    batches, then scoring ALL documents against the store equals batch
+    ppl_buckets exactly — counts are additive and the scoring kernel
+    is shared, so only the store plumbing can break this."""
+    from mklab_focused_crawler_spark.functions.hashing import hash64
+    from mklab_focused_crawler_spark.operators.lm import LM_MOD, ppl_buckets
+    from mklab_focused_crawler_spark.streaming.lm import streaming_ppl_buckets
+    from mklab_focused_crawler_spark.streaming.vocab import (
+        run_streaming_vocab_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref_pdf = (
+        docs.filter(
+            F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(LM_MOD)) == 0
+        )
+        .toPandas()
+    )
+    frames = [ref_pdf.iloc[:1], ref_pdf.iloc[1:10], ref_pdf.iloc[10:]]
+    in_dir = tmp_path / "in_ppl"
+    _write_batches(in_dir, frames)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "ppl_vocab_store")
+    run_streaming_vocab_ingest(
+        stream, store, str(tmp_path / "ckpt_ppl"), compact_every=2
+    )
+
+    cols = ("doc_id", "n_tokens", "nlp_micro", "ppl_bucket")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in streaming_ppl_buckets(spark, store, docs).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols) for r in ppl_buckets(docs).collect()
+    )
+    assert got == want and len(want) > 0
+    assert {t[3] for t in want} >= {"head", "tail"}
