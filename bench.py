@@ -70,6 +70,17 @@ def main() -> None:
         # on quiet windows, so min-of-N stays comparable to them.
         best = None
         for _ in range(PASSES):
+            if name == "minhash_lsh_pairs":
+                # the LSH family shares one per-corpus artifact build
+                # (entry `_LSH_CACHE`); charge it to THIS query on
+                # every pass so min-of-N keeps the build in the
+                # headline exactly once — clusters/near_dup_filter then
+                # honestly report index-serve time, not a third and
+                # fourth rebuild of the same subtree
+                for e in entry_mod._LSH_CACHE.values():
+                    for f in (e["cpairs"], e["sigs"], e["hot"]):
+                        f.unpersist()
+                entry_mod._LSH_CACHE.clear()
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0

@@ -356,9 +356,21 @@ def lsh_pairs_with_sigs(
        verify above 0.0, so they skip banding entirely instead of
        forming the one guaranteed-hot bucket."""
     cpairs, sigs, hot = _lsh_pipeline(corpus, bucket_cap)
+    return expand_canonical_pairs(cpairs, sigs), sigs, hot
 
-    # 3. expand canonical pairs back to document pairs (members arrays
-    # ride the cached sigs table — no corpus re-scan)
+
+def expand_canonical_pairs(cpairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Stage 3 of the pair pipeline: canonical pairs → document pairs.
+    Exposed separately so a session that holds the canonical artifacts
+    (cpairs + the persisted signature table) can re-run just the
+    expansion — the artifact-sharing consumers in the driver entry do
+    (the reference's external visual index amortizes the signature
+    build across consumers the same way, VisualIndexerBolt.java:167).
+
+    Cross-group pairs inherit the canonical pair's jaccard (members
+    have the canonical's exact shingle set); intra-group pairs are
+    jaccard 1.0 by construction, emitted only for non-empty shingle
+    sets (the naive pipeline scores empty-vs-empty 0.0)."""
     cross = (
         cpairs.join(
             sigs.select(F.col("doc_id").alias("ca"), F.col("members").alias("mem_a")),
@@ -383,8 +395,7 @@ def lsh_pairs_with_sigs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
     )
-    pairs = cross.unionByName(intra)
-    return pairs, sigs, hot
+    return cross.unionByName(intra)
 
 
 def _lsh_pipeline(corpus: DataFrame, bucket_cap: int):
@@ -817,6 +828,20 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     unchanged because the vertex set is unchanged.
     """
     cpairs, sigs, hot = lsh_canonical_pairs(corpus)
+    return clusters_from_canonical(spark, cpairs, sigs, hot)
+
+
+def clusters_from_canonical(
+    spark: SparkSession,
+    cpairs: DataFrame,
+    sigs: DataFrame,
+    hot: DataFrame,
+    release_sigs: bool = True,
+) -> DataFrame:
+    """Connected components over the canonical-level artifacts — the
+    back half of :func:`duplicate_clusters`, exposed so a session
+    holding shared artifacts can reuse them (``release_sigs=False``
+    keeps the signature cache alive for other consumers)."""
     # exact-dup edges (member → canonical) come off the cached signature
     # table's members arrays — no second corpus hash pass
     e1 = (
@@ -839,7 +864,8 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     n_hot = (
         hot.agg(F.coalesce(F.sum("bn"), F.lit(0)).alias("n")).collect()[0]["n"]
     )
-    sigs.unpersist()  # the LSH signature table can go now
+    if release_sigs:
+        sigs.unpersist()  # the LSH signature table can go now
     if n_hot:
         # no silent caps: the hot-bucket guard dropped band rows, so the
         # near-dup edge set (and these clusters) is explicitly partial
@@ -949,7 +975,11 @@ def duplicate_clusters_sql() -> str:
     """
 
 
-def near_dup_filter(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+def near_dup_filter(
+    spark: SparkSession,
+    corpus: DataFrame,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, cluster_id, kept) over the FULL corpus — the filtered
     corpus a training pipeline actually materializes downstream of
     :func:`duplicate_clusters`: one survivor per duplicate component
@@ -966,8 +996,13 @@ def near_dup_filter(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     serves de-duplicated results at query time
     (``VisualClustererBolt.java:79-144``); a batch corpus pipeline
     materializes the keep decision instead.
+
+    ``clusters`` lets a session that already materialized
+    :func:`duplicate_clusters` (or :func:`clusters_from_canonical`)
+    pass it in instead of re-running the LSH pipeline.
     """
-    clusters = duplicate_clusters(spark, corpus)
+    if clusters is None:
+        clusters = duplicate_clusters(spark, corpus)
     ids = corpus.select(F.col("doc_id").cast("long").alias("doc_id"))
     return ids.join(clusters, "doc_id", "left").select(
         "doc_id",
