@@ -201,7 +201,10 @@ def _lsh_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         while len(_LSH_CACHE) >= 2:
             old = _LSH_CACHE.pop(next(iter(_LSH_CACHE)))
             for f in (old["cpairs"], old["sigs"], old["hot"]):
-                f.unpersist()
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass  # owning session already stopped (test teardown)
         corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
         cpairs, sigs, hot = dedup.lsh_canonical_pairs(corpus)
         cpairs, hot = cpairs.persist(), hot.persist()
