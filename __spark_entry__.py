@@ -190,6 +190,27 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_CACHE: dict[tuple, dict] = {}
 
 
+def _release_lsh_entry(entry: dict) -> None:
+    frames = [entry["cpairs"], entry["sigs"], entry["hot"]]
+    if entry.get("clusters") is not None:
+        frames.append(entry["clusters"])  # persisted in the >1M-edge regime
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass  # owning session already stopped (test teardown)
+
+
+def clear_lsh_cache() -> None:
+    """Release every cached LSH artifact set. The bench harnesses call
+    this before timed passes that must pay the full build (bench.py per
+    minhash pass; bench_sf1.py per LSH-family leg) — one helper so the
+    cache's frame inventory lives in exactly one place."""
+    for entry in _LSH_CACHE.values():
+        _release_lsh_entry(entry)
+    _LSH_CACHE.clear()
+
+
 def _lsh_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     import logging
     import os
@@ -199,12 +220,7 @@ def _lsh_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
     if key not in _LSH_CACHE:
         while len(_LSH_CACHE) >= 2:
-            old = _LSH_CACHE.pop(next(iter(_LSH_CACHE)))
-            for f in (old["cpairs"], old["sigs"], old["hot"]):
-                try:
-                    f.unpersist()
-                except Exception:
-                    pass  # owning session already stopped (test teardown)
+            _release_lsh_entry(_LSH_CACHE.pop(next(iter(_LSH_CACHE))))
         corpus = dedup.augment_corpus(load_table(spark, sf_dir, "documents"))
         cpairs, sigs, hot = dedup.lsh_canonical_pairs(corpus)
         cpairs, hot = cpairs.persist(), hot.persist()
@@ -230,8 +246,14 @@ def _lsh_artifacts(spark: SparkSession, sf_dir: str) -> dict:
 def _lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _lsh_artifacts(spark, sf_dir)
     if a["clusters"] is None:
+        # the artifact build already counted + logged hot drops once
         a["clusters"] = dedup.clusters_from_canonical(
-            spark, a["cpairs"], a["sigs"], a["hot"], release_sigs=False
+            spark,
+            a["cpairs"],
+            a["sigs"],
+            a["hot"],
+            release_sigs=False,
+            log_hot=False,
         )
     return a["clusters"]
 

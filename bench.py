@@ -77,10 +77,7 @@ def main() -> None:
                 # headline exactly once — clusters/near_dup_filter then
                 # honestly report index-serve time, not a third and
                 # fourth rebuild of the same subtree
-                for e in entry_mod._LSH_CACHE.values():
-                    for f in (e["cpairs"], e["sigs"], e["hot"]):
-                        f.unpersist()
-                entry_mod._LSH_CACHE.clear()
+                entry_mod.clear_lsh_cache()
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0

@@ -177,10 +177,7 @@ def main() -> None:
     rows = []
     def _timed(name, sf_dir):
         if name in _LSH_FAMILY:
-            for e in entry._LSH_CACHE.values():
-                for f in (e["cpairs"], e["sigs"], e["hot"]):
-                    f.unpersist()
-            entry._LSH_CACHE.clear()
+            entry.clear_lsh_cache()
         return _time(qs[name], spark, sf_dir)
 
     for name, bound in QUADRATIC.items():

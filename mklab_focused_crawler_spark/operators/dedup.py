@@ -837,11 +837,16 @@ def clusters_from_canonical(
     sigs: DataFrame,
     hot: DataFrame,
     release_sigs: bool = True,
+    log_hot: bool = True,
 ) -> DataFrame:
     """Connected components over the canonical-level artifacts — the
     back half of :func:`duplicate_clusters`, exposed so a session
     holding shared artifacts can reuse them (``release_sigs=False``
-    keeps the signature cache alive for other consumers)."""
+    keeps the signature cache alive for other consumers;
+    ``log_hot=False`` skips the hot-drop count when the caller already
+    counted and logged it at artifact-build time — the no-silent-caps
+    contract wants the warning once per corpus, not once per
+    consumer)."""
     # exact-dup edges (member → canonical) come off the cached signature
     # table's members arrays — no second corpus hash pass
     e1 = (
@@ -861,9 +866,11 @@ def clusters_from_canonical(
     # output, no driver materialization. Mirrors Catalyst's own
     # broadcast-vs-shuffle join choice.
     n_edges = edges.count()  # materializes the edge cache...
-    n_hot = (
-        hot.agg(F.coalesce(F.sum("bn"), F.lit(0)).alias("n")).collect()[0]["n"]
-    )
+    n_hot = 0
+    if log_hot:
+        n_hot = (
+            hot.agg(F.coalesce(F.sum("bn"), F.lit(0)).alias("n")).collect()[0]["n"]
+        )
     if release_sigs:
         sigs.unpersist()  # the LSH signature table can go now
     if n_hot:
@@ -936,10 +943,12 @@ def min_label_propagation(edges: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select(
-        "doc_id", F.col("label").alias("cluster_id")
-    )
-    # labels (the final round's cache) stays: `out` references it lazily.
+    # materialize the (small) label table so the final round's cache —
+    # and the whole propagation lineage — can be released now; callers
+    # own out.unpersist() (the shared-artifact cache does on evict)
+    out = labels.select("doc_id", F.col("label").alias("cluster_id")).persist()
+    out.count()
+    labels.unpersist()
     adj.unpersist()
     return out
 

@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash64, hash64_sql
 from ..functions.scoring import det_log10_ratio, det_log10_ratio_sql
 from ..functions.text import tokenize, tokenize_sql
+from .vocab import word_counts
 
 LM_MOD = 5  # reference slice: hash64(doc_id) % LM_MOD == 0
 MICRO = 1_000_000
@@ -154,10 +155,11 @@ def ppl_buckets(
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
         )
 
-    ref_tokens = ref.select(
-        F.explode(tokenize(F.col("text"))).alias("w")
-    )
-    vocab = ref_tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    # the LM count table IS vocab.word_counts — the same frame the
+    # streaming vocabulary store accumulates per batch, which is what
+    # makes streaming/lm.py's exact-convergence contract hold by
+    # construction rather than by parallel implementations agreeing
+    vocab = word_counts(ref).withColumnRenamed("c", "c_w")
     return score_with_vocab(docs, vocab)
 
 
