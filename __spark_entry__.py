@@ -21,6 +21,7 @@ from mklab_focused_crawler_spark.operators import (
     decontam,
     dedup,
     dsir,
+    lexicon,
     lines,
     lm,
     multimodal,
@@ -666,6 +667,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "ppl_buckets": lambda s, d: lm.ppl_buckets(load_table(s, d, "documents")),
+    "lexicon_filter": lambda s, d: lexicon.lexicon_filter(
+        lexicon.augment_lexicon(load_table(s, d, "documents"))
+    ),
     "sequence_pack": lambda s, d: packing.sequence_pack(
         load_table(s, d, "documents")
     ),
@@ -755,6 +759,7 @@ ORACLES: dict[str, str] = {
     "pii_redact": pii.pii_redact_sql(pii.augment_pii_sql()),
     "dsir_weights": dsir.dsir_weights_sql(),
     "ppl_buckets": lm.ppl_buckets_sql(),
+    "lexicon_filter": lexicon.lexicon_filter_sql(lexicon.augment_lexicon_sql()),
     "sequence_pack": packing.sequence_pack_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "token_stats": _TOKEN_STATS_SQL,

@@ -104,6 +104,9 @@ QUADRATIC = {
     # disjoint vocabulary, so the LM counts, the per-(doc,word) frame
     # and the vocab join all grow 10x — linear by construction
     "ppl_buckets": 15.0,
+    # lexicon_filter: zero-shuffle narrow map — the bound catches a
+    # lost pushdown or collapsed partition
+    "lexicon_filter": 15.0,
 }
 
 # The LSH family shares a per-corpus artifact cache at the entry layer

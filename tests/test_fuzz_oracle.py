@@ -71,8 +71,9 @@ def test_fuzz_text_analysis(spark, tmp_path_factory, texts):
     d = tmp_path_factory.mktemp("fuzz")
     sdf, con = _mk_tables(spark, d, texts)
     sdf.createOrReplaceTempView("documents")  # not used by query fn; path-based
-    df = m.queries()["text_analysis"](spark, str(d))
-    _compare(df, con, m.oracle_sql()["text_analysis"])
+    for q in ("text_analysis", "lexicon_filter"):
+        df = m.queries()[q](spark, str(d))
+        _compare(df, con, m.oracle_sql()[q])
     con.close()
 
 
