@@ -272,14 +272,15 @@ sf0.1) measured **64.6s total** — below r3's 85.4s despite the 16
 added queries (the scan-widening, general-n-ngrams and tokenize-once
 fixes, PLANS.md #20-22); the two newest queries cost 0.24s + 0.37s.
 
-Late-r4 refresh (47 entries: + `ppl_buckets` at 1.0s): **66.3s
-total**. The LSH family now shares one per-corpus artifact build at
-the session layer (PLANS.md #31): bench clears the cache before every
-`minhash_lsh_pairs` pass, so that query carries the full build
-(7.7s this window) while `duplicate_clusters` / `near_dup_filter`
-report index-serve time (0.9s / 0.8s vs 7.0s / 8.9s unshared — the
-family went ~20.7s → ~9.4s with the build still in the headline
-exactly once).
+Late-r4 refresh (now 48 entries: + `ppl_buckets` at ~1.0-1.3s and
+`lexicon_filter` at ~0.24s): **66.3s** on a quiet window /
+**74.1s** on a contended one. The LSH family now shares one
+per-corpus artifact build at the session layer (PLANS.md #31): bench
+clears the cache before every `minhash_lsh_pairs` pass, so that query
+carries the full build (7.7-9.3s across windows) while
+`duplicate_clusters` / `near_dup_filter` report index-serve time
+(~0.3s / ~0.8s vs 7.0s / 8.9s unshared — the family went ~20.7s →
+~9-10s with the build still in the headline exactly once).
 
 Window history accumulates across invocations in
 `BENCH/scaling_state.json` (default; `--fresh` opts out) and spans
