@@ -212,13 +212,33 @@ def clear_lsh_cache() -> None:
     _LSH_CACHE.clear()
 
 
-def _lsh_artifacts(spark: SparkSession, sf_dir: str) -> dict:
-    import logging
+def _dataset_key(path: str) -> tuple:
+    """File-identity cache key for a parquet dataset. Single files key on
+    (path, mtime_ns, size); Spark-written DIRECTORIES additionally fold
+    in every contained data file's (name, size, mtime_ns) — a rewrite
+    that replaces part files in place changes the key even when the
+    directory's own stat doesn't (same entry count leaves dir mtime
+    unchanged on some filesystems)."""
     import os
 
-    path = f"{sf_dir.rstrip('/')}/documents.parquet"
     st = os.stat(path)
-    key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    key: tuple = (path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        parts = []
+        for name in sorted(os.listdir(path)):
+            if name.startswith((".", "_")):
+                continue  # _SUCCESS / .crc markers don't carry data
+            ps = os.stat(os.path.join(path, name))
+            parts.append((name, ps.st_size, ps.st_mtime_ns))
+        key = key + (tuple(parts),)
+    return key
+
+
+def _lsh_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    import logging
+
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    key = (spark.sparkContext.applicationId,) + _dataset_key(path)
     if key not in _LSH_CACHE:
         while len(_LSH_CACHE) >= 2:
             _release_lsh_entry(_LSH_CACHE.pop(next(iter(_LSH_CACHE))))
@@ -316,17 +336,14 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Trained codebooks are offline artifacts: a production index trains
 # once and serves many queries, so consumers (ivf_topk_trained,
 # semantic_dedup — bench runs each query multiple passes) share one
-# training per corpus. Cache key = the parquet file's identity
-# (path + mtime_ns + size), so a rewritten corpus retrains.
+# training per corpus. Cache key = the parquet dataset's identity
+# (_dataset_key), so a rewritten corpus retrains.
 _CODEBOOK_CACHE: dict[tuple, list[list[int]]] = {}
 
 
 def _trained_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
-    import os
-
     path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
+    key = _dataset_key(path)
     if key not in _CODEBOOK_CACHE:
         _CODEBOOK_CACHE[key] = similarity.train_ivf_codebook_df(
             load_table(spark, sf_dir, "embeddings")

@@ -826,6 +826,12 @@ def duplicate_clusters(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     edges per g-member boilerplate group instead of the g² the
     pair-query output contract requires. Component min-ids (labels) are
     unchanged because the vertex set is unchanged.
+
+    Cache ownership: in the >1M-edge regime the returned frame is the
+    persisted :func:`min_label_propagation` result — library callers
+    that hold it beyond one action should ``unpersist()`` it when done
+    (the ≤1M regime returns an unpersisted ``createDataFrame``, where
+    unpersist is a harmless no-op).
     """
     cpairs, sigs, hot = lsh_canonical_pairs(corpus)
     return clusters_from_canonical(spark, cpairs, sigs, hot)

@@ -226,21 +226,37 @@ def cosine_topk_gemm(
     touches the corpus; partition count, batch boundaries and chunk
     boundaries cannot change the result. Chunking bounds the broadcast
     size, the per-task (batch × chunk) dot matrix AND the driver frame:
-    each chunk is collected separately by its deterministic index in
-    the vec_id total order (offset/limit), so a 10^6-probe workload
-    costs ⌈probes/chunk⌉ corpus scans and one chunk of driver memory
-    instead of an OOM."""
+    chunk ids are assigned once (row_number over the vec_id total order
+    on the persisted probe frame) and each chunk is collected by
+    equality filter, so a 10^6-probe workload costs ⌈probes/chunk⌉
+    corpus scans plus ⌈probes/chunk⌉ cached probe scans — no per-chunk
+    sort jobs — and one chunk of driver memory instead of an OOM."""
     import numpy as np
 
     q = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", qnorm2(F.col("q")))
-    probe_set = q.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        "vec_id", "q", "n2"
+    # chunk ids assigned ONCE via row_number over the vec_id total order
+    # on the persisted probe frame; each chunk is then fetched by
+    # equality filter — one cached scan per chunk instead of a fresh
+    # sort job per chunk (probes are small by contract, so both the
+    # unpartitioned window and the persist are bounded)
+    probe_set = (
+        q.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select("vec_id", "q", "n2")
+        .withColumn(
+            "chunk_id",
+            F.floor(
+                (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                / F.lit(chunk)
+            ).cast("int"),
+        )
+        .persist()
     )
     spark = embeddings.sparkSession
     n_probes = probe_set.count()
     if n_probes == 0:
+        probe_set.unpersist()
         return spark.createDataFrame(
             [], "probe_id long, vec_id long, rank int, dot_q long, cosine double"
         )
@@ -285,9 +301,12 @@ def cosine_topk_gemm(
     # affect the result (each probe's rows live in exactly one chunk).
     cand = None
     pn2_rows: list[tuple[int, int]] = []
-    for start in range(0, n_probes, chunk):
+    n_chunks = (n_probes + chunk - 1) // chunk
+    for ci in range(n_chunks):
         part = (
-            probe_set.orderBy("vec_id").offset(start).limit(chunk).toPandas()
+            probe_set.filter(F.col("chunk_id") == ci)
+            .select("vec_id", "q", "n2")
+            .toPandas()
         )
         probe_ids = part["vec_id"].to_numpy().astype(np.int64)
         pmat = np.stack([np.asarray(v, dtype=np.int64) for v in part["q"]])
@@ -298,6 +317,7 @@ def cosine_topk_gemm(
             make_kernel(bp), "probe_id long, vec_id long, dot_q long, n2 long"
         )
         cand = piece if cand is None else cand.unionByName(piece)
+    probe_set.unpersist()  # all chunks fetched driver-side above
     pn2_df = broadcast(
         spark.createDataFrame(pn2_rows, "probe_id long, pn2 long")
     )

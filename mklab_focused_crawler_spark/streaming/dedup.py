@@ -741,7 +741,12 @@ def _distributed_cluster_rebuild(spark, pairs_t, groups_t, clusters_t) -> None:
             )
         )
     edges = edges.filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
-    labels = min_label_propagation(edges).withColumn(
+    # min_label_propagation returns a persisted frame whose unpersist is
+    # owned by the caller — keep a handle so the inner cache entry is
+    # released too (not just our derived withColumn copy), or the >1M-edge
+    # regime leaks one cache entry per rebuilt batch
+    raw_labels = min_label_propagation(edges)
+    labels = raw_labels.withColumn(
         "doc_bucket",
         F.pmod(F.col("doc_id"), F.lit(LSH_KEY_BUCKETS)).cast("int"),
     ).persist()
@@ -751,6 +756,7 @@ def _distributed_cluster_rebuild(spark, pairs_t, groups_t, clusters_t) -> None:
     if labels.count() > 0:
         clusters_t.overwrite(labels)
     labels.unpersist()
+    raw_labels.unpersist()
 
 
 def _clusters_process_batch(
