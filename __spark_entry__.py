@@ -665,6 +665,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": lambda s, d: vocab.bpe_merge_candidates(
         load_table(s, d, "documents")
     ),
+    "bpe_merges_iter": lambda s, d: vocab.bpe_merges_iter(
+        load_table(s, d, "documents")
+    ),
     "shard_shuffle": lambda s, d: sampling.shard_shuffle(
         load_table(s, d, "documents")
     ),
@@ -769,6 +772,7 @@ ORACLES: dict[str, str] = {
     "dataset_mix": sampling.dataset_mix_sql(),
     "domain_quota": sampling.domain_quota_sql(),
     "bpe_merges": vocab.bpe_merge_candidates_sql(),
+    "bpe_merges_iter": vocab.bpe_merges_iter_sql(),
     "shard_shuffle": sampling.shard_shuffle_sql(),
     "corpus_stats": stats.corpus_stats_sql(),
     "decontaminate": decontam.decontaminate_sql(),
