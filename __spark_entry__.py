@@ -351,6 +351,33 @@ def _trained_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     return _CODEBOOK_CACHE[key]
 
 
+_PQ_BOOKS_CACHE: dict[tuple, list] = {}
+
+
+def _trained_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    key = _dataset_key(path)
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = similarity.train_pq_codebooks_df(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _PQ_BOOKS_CACHE[key]
+
+
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: trained coarse codebook + trained product-quantizer
+    sub-codebooks, integer asymmetric-distance candidate scoring, exact
+    re-rank of the ADC pool. Both trainings run against the same sf_dir
+    (the production build-on-the-corpus-it-serves shape); the oracle
+    twin trains via the same functions on the same parquet."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb,
+        centroids=_trained_codebook(spark, sf_dir),
+        pq_books=_trained_pq_books(spark, sf_dir),
+    )
+
+
 def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat over a k-means-TRAINED codebook: the offline training
     job (deterministic sample → fixed-iteration integer Lloyd →
@@ -651,6 +678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_multi": _q_ann_topk_multi,
     "ivf_topk": _q_ivf_topk,
     "ivf_topk_trained": _q_ivf_topk_trained,
+    "ivf_pq_topk": _q_ivf_pq_topk,
     "embedding_near_dups": _q_embedding_near_dups,
     "semantic_dedup": _q_semantic_dedup,
     "doc_quality": lambda s, d: quality.doc_quality_signals(
@@ -840,6 +868,12 @@ def oracle_sql() -> dict[str, str]:
         _LAZY_ORACLES["ivf_topk_trained"] = similarity.ivf_topk_sql(centroids=cents)
         _LAZY_ORACLES["semantic_dedup"] = similarity.semantic_dedup_sql(
             centroids=cents
+        )
+        _LAZY_ORACLES["ivf_pq_topk"] = similarity.ivf_pq_topk_sql(
+            centroids=cents,
+            pq_books=similarity.train_pq_codebooks_parquet(
+                f"{_ORACLE_SF_DIR}/embeddings.parquet"
+            ),
         )
     out.update(_LAZY_ORACLES)
     return out

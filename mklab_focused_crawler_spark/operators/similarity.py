@@ -629,12 +629,30 @@ def train_ivf_codebook(
 
     All distance algebra is int64 (|x−c|² ≤ 64·(2·DIM·SCALE)² ≪ 2^63):
     bit-identical on any platform, no libm anywhere."""
+    return _lloyd_int(_training_matrix(rows), k, iters)
+
+
+def _training_matrix(rows):
+    """(vec_id, floats) iterable → int64 matrix sorted by vec_id —
+    the shared deterministic sample normalization of every training
+    entry point (input order cannot matter; quantization is Python-side
+    round-half-even, self-consistent across engines)."""
     import numpy as np
 
     rows = sorted(rows, key=lambda r: r[0])
-    X = np.rint(
+    return np.rint(
         np.asarray([list(r[1]) for r in rows], dtype=np.float64) * SCALE
     ).astype(np.int64)
+
+
+def _lloyd_int(X, k: int, iters: int) -> list[list[int]]:
+    """The deterministic integer Lloyd kernel over an int64 sample
+    matrix (any dimensionality — the IVF coarse quantizer trains on
+    full vectors, the PQ sub-quantizers on DIM/M-dim slices): farthest-
+    point init from row 0, fixed ``iters`` sweeps, int64 distances,
+    rounded-integer-mean updates, empty clusters keep their centroid."""
+    import numpy as np
+
     if len(X) < k:
         raise ValueError(f"need >= {k} training vectors, got {len(X)}")
     chosen = [0]
@@ -815,6 +833,346 @@ def ivf_topk_sql(
                         ORDER BY dot_q DESC, vec_id ASC) AS INT) AS rank
             FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+# DIM=64 split into PQ_M=8 sub-spaces of PQ_SUB=8 dims, PQ_KS=16 codes
+# each: a vector's index footprint is 8 four-bit codes (4 bytes, 64×
+# smaller than 64 float32s) — the compression that makes a 10^9-10^10
+# vector index storable (reference analog: VisualIndexerBolt compresses
+# SURF→VLAD→PCA before indexing, VisualIndexerBolt.java:60-84).
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_KS = 16
+# exact re-rank pool per probe (ADC top-R → true top-k). R is the
+# recall knob (FAISS's k_factor·k): vectors sharing all m codes are
+# ADC-INDISTINGUISHABLE — inside a tight cluster every mate ties and
+# the pool fills in vec_id order — so R must exceed the largest code-tie
+# plateau the corpus produces (measured: R=32 scored recall 0.68 on the
+# 60-per-cluster test corpus because the pool truncated a 59-way tie;
+# 64 covers it with 4·k headroom).
+PQ_RERANK = 64
+
+# untrained stand-in sub-codebooks (±SCALE sign patterns off the shared
+# md5 scheme) — unit-test scaffolding; production paths train
+DEFAULT_PQ_BOOKS = [
+    [
+        [
+            SCALE
+            if hashlib.md5(f"pq-{mi}-{j}-plane-0-{d}".encode()).digest()[0] % 2
+            else -SCALE
+            for d in range(PQ_SUB)
+        ]
+        for j in range(PQ_KS)
+    ]
+    for mi in range(PQ_M)
+]
+
+
+def train_pq_codebooks(
+    rows, m: int = PQ_M, ks: int = PQ_KS, iters: int = TRAIN_ITERS
+) -> list[list[list[int]]]:
+    """Product-quantizer training: the SAME deterministic integer Lloyd
+    kernel as the coarse quantizer, run independently on each of the
+    ``m`` DIM/m-dim sub-slices of the (sorted, quantized) sample →
+    m × ks × (DIM/m) integer centroid literals. Same engine-free
+    determinism contract as :func:`train_ivf_codebook` — both the Spark
+    query and the DuckDB twin embed literals from THIS function on the
+    same rows."""
+    X = _training_matrix(rows)
+    sub = DIM // m
+    return [
+        _lloyd_int(X[:, mi * sub : (mi + 1) * sub], ks, iters)
+        for mi in range(m)
+    ]
+
+
+def train_pq_codebooks_df(embeddings: DataFrame) -> list[list[list[int]]]:
+    """Train from a Spark embeddings table — same scale-adaptive
+    decimation (and therefore the same sample) as the coarse-quantizer
+    job, so one collected sample serves both trainings at deployment."""
+    mod = train_sample_mod(embeddings.count())
+    rows = (
+        embeddings.filter(F.col("vec_id") % mod == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return train_pq_codebooks((r["vec_id"], r["embedding"]) for r in rows)
+
+
+def train_pq_codebooks_parquet(path: str) -> list[list[list[int]]]:
+    """Oracle-twin training path (no Spark) — same function, same rows,
+    same literals; see :func:`train_ivf_codebook_parquet`."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    mod = train_sample_mod(t.num_rows)
+    return train_pq_codebooks(
+        (v, e)
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if v % mod == 0
+    )
+
+
+def _pq_sub(q_col, mi: int) -> F.Column:
+    return F.slice(q_col, mi * PQ_SUB + 1, PQ_SUB)
+
+
+def _pq_code(q_col, books: list[list[list[int]]]) -> F.Column:
+    """array<int> of per-sub-space nearest-centroid codes (squared-L2
+    ascending, code id ascending as the deterministic tie-break — the
+    same argmin rule as the coarse quantizer, per sub-slice)."""
+    codes = []
+    for mi, book in enumerate(books):
+        sub = _pq_sub(q_col, mi)
+        scores = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(sum(v * v for v in c)).cast("long")
+                        - 2 * qdot(sub, F.lit(c))
+                    ).alias("nd"),
+                    F.lit(j).cast("int").alias("j"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        codes.append(F.element_at(F.array_sort(scores), 1)["j"])
+    return F.array(*codes)
+
+
+def _pq_tbl(pq_col, books: list[list[list[int]]]) -> F.Column:
+    """array<array<long>>: tbl[m][j] = ⟨probe_sub_m, c_{m,j}⟩ — the
+    per-probe asymmetric-distance table (m·ks int64 dot products,
+    evaluated on PROBE rows only)."""
+    return F.array(
+        *[
+            F.array(*[qdot(_pq_sub(pq_col, mi), F.lit(c)) for c in book])
+            for mi, book in enumerate(books)
+        ]
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_probe: int = N_PROBE,
+    rerank: int = PQ_RERANK,
+    centroids: list[list[int]] | None = None,
+    pq_books: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse inverted lists (the :func:`ivf_topk` layout)
+    over PRODUCT-QUANTIZED codes scored by integer asymmetric distance,
+    with an exact re-rank of the ADC top-``rerank`` pool.
+
+    Plan shape at 10^9-10^10 vectors — why this is the scale path:
+
+    - the serving index is (vec_id, list_id, code[8], n2): ~20 bytes a
+      vector vs 256 for flat storage — candidate scanning streams codes,
+      never full vectors;
+    - ADC is one per-probe table of m·ks int64 dots (built on the few
+      probe rows, broadcast with them) + a per-candidate sum of m table
+      lookups — no DIM-length dot in the candidate loop;
+    - only the ADC top-``rerank`` survivors (probes × rerank rows, tiny)
+      join back to the corpus for exact dots — AQE broadcasts the pool,
+      so full vectors are read for a vanishing fraction of candidates;
+    - determinism is total: codes, ADC sums and the exact re-rank are
+      int64 on both engines; pool membership is (adc desc, vec_id asc),
+      final ranking (dot desc, vec_id asc).
+
+    Output mirrors :func:`ivf_topk` plus ``adc_q`` (the candidate's ADC
+    score — kept so recall/compression tradeoffs are observable)."""
+    books = DEFAULT_PQ_BOOKS if pq_books is None else pq_books
+    q = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", qnorm2(F.col("q")))
+    ranked = _ivf_ranked_lists(F.col("q"), centroids)
+    index = q.select(
+        "vec_id",
+        F.get(ranked, 0).alias("list_id"),
+        _pq_code(F.col("q"), books).alias("code"),
+        "n2",
+    )
+    probes = q.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("n2").alias("pn2"),
+        _pq_tbl(F.col("q"), books).alias("tbl"),
+        F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
+    )
+    cand = index.join(broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("tbl"), F.col("code"), lambda t, cd: F.element_at(t, cd + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pool_w = Window.partitionBy("probe_id").orderBy(
+        F.desc("adc_q"), F.asc("vec_id")
+    )
+    pool = (
+        cand.select(
+            "probe_id", "vec_id", "list_id", adc.alias("adc_q"), "pn2", "n2"
+        )
+        .withColumn("crank", F.row_number().over(pool_w))
+        .filter(F.col("crank") <= rerank)
+        .drop("crank")
+    )
+    # exact re-rank: the tiny pool joins back for full vectors — pool on
+    # the build side (broadcast), corpus scan streams
+    pq_vecs = q.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    exact = (
+        q.select("vec_id", F.col("q").alias("cq"))
+        .join(broadcast(pool), "vec_id")
+        .join(broadcast(pq_vecs), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "list_id",
+            "adc_q",
+            qdot(F.col("pq"), F.col("cq")).alias("dot_q"),
+            "pn2",
+            "n2",
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            "list_id",
+            "rank",
+            "adc_q",
+            "dot_q",
+            _cosine_display(F.col("dot_q"), F.col("pn2"), F.col("n2")).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+def _qdot_sub_sql(q_expr: str, mi: int, w: str) -> str:
+    """Integer dot of ``q_expr``'s mi-th PQ sub-slice with literal list
+    ``w`` (the sub-space analog of qdot_sql)."""
+    off = mi * PQ_SUB
+    return (
+        f"CAST(coalesce(list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+        f"i -> ({q_expr})[{off} + i] * ({w})[i])), 0) AS BIGINT)"
+    )
+
+
+def ivf_pq_topk_sql(
+    k: int = TOP_K,
+    n_probe: int = N_PROBE,
+    rerank: int = PQ_RERANK,
+    centroids: list[list[int]] | None = None,
+    pq_books: list[list[list[int]]] | None = None,
+) -> str:
+    """DuckDB twin: codes via per-sub-space list_sort-of-structs argmin
+    (DuckDB sorts structs field-lexicographically — the same (nd, j)
+    order as Spark's array_sort), ADC via the same per-probe table +
+    m-lookup sum, both pure int64. CTEs materialized: qt/codes/probes
+    are each consumed by several downstream stages and inlining would
+    re-evaluate the 128-dot code expressions per consumer."""
+    cents = IVF_CENTROIDS if centroids is None else centroids
+    books = DEFAULT_PQ_BOOKS if pq_books is None else pq_books
+    q = quantized_sql("embedding")
+
+    def lit(vs):
+        return "[" + ", ".join(str(v) for v in vs) + "]"
+
+    per_list = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, "
+        f"CAST({sum(v * v for v in c)} AS BIGINT) - 2 * "
+        f"{qdot_sql('q', lit(c))} AS nd FROM qt"
+        for j, c in enumerate(cents)
+    )
+    code_exprs = ", ".join(
+        "list_sort(["
+        + ", ".join(
+            f"struct_pack(nd := CAST({sum(v * v for v in c)} AS BIGINT) - 2 * "
+            f"{_qdot_sub_sql('q', mi, lit(c))}, j := CAST({j} AS INT))"
+            for j, c in enumerate(book)
+        )
+        + "])[1].j"
+        for mi, book in enumerate(books)
+    )
+    tbl_expr = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(_qdot_sub_sql("q", mi, lit(c)) for c in book)
+            + "]"
+            for mi, book in enumerate(books)
+        )
+        + "]"
+    )
+    return f"""
+        WITH qt AS MATERIALIZED (
+            SELECT vec_id, {q} AS q, {qdot_sql(q, q)} AS n2 FROM embeddings
+        ),
+        scores AS (
+            {per_list}
+        ),
+        ranked AS MATERIALIZED (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY nd ASC, j ASC) AS rn
+            FROM scores
+        ),
+        assign AS (SELECT vec_id, j AS list_id FROM ranked WHERE rn = 1),
+        codes AS MATERIALIZED (
+            SELECT vec_id, [{code_exprs}] AS code FROM qt
+        ),
+        probes AS MATERIALIZED (
+            SELECT vec_id AS probe_id, n2 AS pn2, {tbl_expr} AS tbl
+            FROM qt WHERE vec_id % {PROBE_MOD} = 0
+        ),
+        probe_lists AS (
+            SELECT vec_id AS probe_id, j AS list_id FROM ranked
+            WHERE rn <= {n_probe} AND vec_id % {PROBE_MOD} = 0
+        ),
+        pool AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT s.*, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY adc_q DESC, vec_id ASC) AS crank
+                FROM (
+                    SELECT pl.probe_id, a.vec_id, a.list_id, cq.n2, p.pn2,
+                           CAST(list_sum(list_transform(range(1, {PQ_M} + 1),
+                                i -> p.tbl[i][c.code[i] + 1])) AS BIGINT) AS adc_q
+                    FROM probe_lists pl
+                    JOIN assign a USING (list_id)
+                    JOIN codes c ON c.vec_id = a.vec_id
+                    JOIN qt cq ON cq.vec_id = a.vec_id
+                    JOIN probes p ON p.probe_id = pl.probe_id
+                    WHERE a.vec_id <> pl.probe_id
+                ) s
+            ) WHERE crank <= {rerank}
+        )
+        SELECT probe_id, vec_id, list_id, rank, adc_q, dot_q,
+               {_cosine_display_sql("dot_q", "pn2", "n2")} AS cosine
+        FROM (
+            SELECT pool.probe_id, pool.vec_id, pool.list_id, pool.adc_q,
+                   pool.pn2, pool.n2,
+                   {qdot_sql("pv.q", "vv.q")} AS dot_q,
+                   CAST(row_number() OVER (PARTITION BY pool.probe_id
+                        ORDER BY {qdot_sql("pv.q", "vv.q")} DESC,
+                                 pool.vec_id ASC) AS INT) AS rank
+            FROM pool
+            JOIN qt vv ON vv.vec_id = pool.vec_id
+            JOIN qt pv ON pv.vec_id = pool.probe_id
+        ) WHERE rank <= {k}
+        ORDER BY probe_id, rank
     """
 
 

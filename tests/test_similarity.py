@@ -176,3 +176,53 @@ def test_semantic_dedup_semantics_vs_brute_force(spark):
         assert min(members)[1] is True, lid
     n_pruned = sum(1 for _, k in got.values() if not k)
     assert 0 < n_pruned < len(got)
+
+
+def test_ivf_pq_recall_on_clustered_corpus(spark):
+    """IVF-PQ (trained coarse codebook + trained product sub-codebooks,
+    integer ADC + exact re-rank) must reach recall@5 ≥ 0.9 vs the exact
+    brute force on the clustered corpus — the compressed index keeps
+    the quality while storing ~20 bytes per vector instead of 256."""
+    emb = _clustered_embeddings(spark)
+    mod = sim.train_sample_mod(emb.count())
+    rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(f"vec_id % {mod} = 0").collect()
+    ]
+    cents = sim.train_ivf_codebook(rows)
+    books = sim.train_pq_codebooks(rows)
+    assert books == sim.train_pq_codebooks(list(reversed(rows)))
+
+    truth = _topk_sets(sim.cosine_topk(emb))
+    got = _topk_sets(
+        sim.ivf_pq_topk(emb, n_probe=2, centroids=cents, pq_books=books)
+    )
+    r = _recall(got, truth)
+    assert r >= 0.9, f"IVF-PQ recall {r:.3f}"
+
+
+def test_ivf_pq_rerank_pool_bounds_misranking(spark):
+    """With rerank >= corpus size the candidate pool is every in-list
+    candidate, so IVF-PQ must equal IVF-flat exactly (ADC only selects
+    the pool; the final ranking is the same exact integer dot). Pins
+    the contract that PQ compression can only affect POOL membership,
+    never the ordering of re-ranked survivors."""
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=30)
+    mod = sim.train_sample_mod(emb.count())
+    rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(f"vec_id % {mod} = 0").collect()
+    ]
+    cents = sim.train_ivf_codebook(rows)
+    books = sim.train_pq_codebooks(rows)
+    flat = _rows(
+        sim.ivf_topk(emb, n_probe=2, centroids=cents).select(
+            "probe_id", "vec_id", "rank", "dot_q"
+        )
+    )
+    pq = _rows(
+        sim.ivf_pq_topk(
+            emb, n_probe=2, rerank=10**6, centroids=cents, pq_books=books
+        ).select("probe_id", "vec_id", "rank", "dot_q")
+    )
+    assert pq == flat
