@@ -27,6 +27,7 @@ from mklab_focused_crawler_spark.operators import (
     multimodal,
     packing,
     pii,
+    pipeline,
     quality,
     sampling,
     similarity,
@@ -324,6 +325,54 @@ def _q_ann_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (N_TABLES independent plane sets; recall and
     bucket size tuned independently — the 10^8+-vector design)."""
     return similarity.ann_topk_multi(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---- composed end-to-end pipeline (operators/pipeline.py) ----------------
+
+# One build per corpus (the pipeline materializes intermediate tables +
+# runs the eager LSH machinery); keyed like the LSH artifacts, evicted
+# with unpersist. bench.py clears this before every timed pipeline pass
+# so min-of-N can't hide the build cost (the LSH honesty rule).
+_PIPELINE_CACHE: dict[tuple, dict] = {}
+
+
+def clear_pipeline_cache() -> None:
+    for entry in _PIPELINE_CACHE.values():
+        for f in entry["frames"]:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+    _PIPELINE_CACHE.clear()
+
+
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    key = (spark.sparkContext.applicationId,) + _dataset_key(path)
+    if key not in _PIPELINE_CACHE:
+        while len(_PIPELINE_CACHE) >= 2:
+            k = next(iter(_PIPELINE_CACHE))
+            e = _PIPELINE_CACHE.pop(k)
+            for f in e["frames"]:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+        frames: list = []
+        df = pipeline.pipeline_e2e(
+            spark,
+            load_table(spark, sf_dir, "documents"),
+            caches=frames,
+            workdir=os.path.join(
+                "spark-warehouse",
+                "pipeline_scratch",
+                os.path.basename(sf_dir.rstrip("/")),
+            ),
+        )
+        _PIPELINE_CACHE[key] = {"df": df, "frames": frames}
+    return _PIPELINE_CACHE[key]["df"]
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": lambda s, d: packing.sequence_pack(
         load_table(s, d, "documents")
     ),
+    "pipeline_e2e": _q_pipeline_e2e,
     "text_analysis": _q_text_analysis,
     "token_stats": _q_token_stats,
     "rolling_top_events": lambda s, d: trending.rolling_top_events(
@@ -810,6 +860,7 @@ ORACLES: dict[str, str] = {
     "ppl_buckets": lm.ppl_buckets_sql(),
     "lexicon_filter": lexicon.lexicon_filter_sql(lexicon.augment_lexicon_sql()),
     "sequence_pack": packing.sequence_pack_sql(),
+    "pipeline_e2e": pipeline.pipeline_e2e_sql(),
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "token_stats": _TOKEN_STATS_SQL,
     "rolling_top_events": trending.rolling_top_events_sql(),

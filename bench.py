@@ -78,6 +78,12 @@ def main() -> None:
                 # honestly report index-serve time, not a third and
                 # fourth rebuild of the same subtree
                 entry_mod.clear_lsh_cache()
+            if name == "pipeline_e2e":
+                # same honesty rule: the composed pipeline's build
+                # (intermediate tables + its own LSH machinery) must be
+                # inside every timed pass, or min-of-N reports only the
+                # cached final join
+                entry_mod.clear_pipeline_cache()
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0

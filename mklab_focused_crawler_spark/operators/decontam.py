@@ -99,13 +99,15 @@ def decontaminate(
     )
 
 
-def decontaminate_sql(n: int = GRAM_N, eval_mod: int = EVAL_MOD) -> str:
+def decontaminate_sql(
+    n: int = GRAM_N, eval_mod: int = EVAL_MOD, table: str = "documents"
+) -> str:
     toks = tokenize_sql("text")
     return f"""
         WITH docs AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    COALESCE(text, '') AS text
-            FROM documents
+            FROM {table}
         ),
         flagged AS (
             SELECT doc_id,

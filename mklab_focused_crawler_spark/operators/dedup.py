@@ -472,7 +472,7 @@ def _lsh_pipeline(corpus: DataFrame, bucket_cap: int):
     return cpairs, sigs, hot
 
 
-def lsh_pairs_sql() -> str:
+def lsh_pairs_sql(corpus_src: str | None = None) -> str:
     hashes = shingle_hashes_sql("text")
     sig = minhash_signature_sql("hh")
     band_keys = ", ".join(
@@ -481,7 +481,7 @@ def lsh_pairs_sql() -> str:
         for j in range(BANDS)
     )
     return f"""
-        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        WITH corpus AS (SELECT * FROM {corpus_src or augment_corpus_sql()}),
         sh AS (SELECT doc_id, {hashes} AS hh FROM corpus),
         sigs AS (SELECT doc_id, hh, {sig} AS sig FROM sh),
         bands AS (
@@ -959,11 +959,13 @@ def min_label_propagation(edges: DataFrame) -> DataFrame:
     return out
 
 
-def duplicate_clusters_sql() -> str:
+def duplicate_clusters_sql(corpus_src: str | None = None) -> str:
     """DuckDB oracle via recursive transitive closure (fine at fixture
-    scale; the Spark path is the one designed for 10^10)."""
+    scale; the Spark path is the one designed for 10^10). ``corpus_src``
+    re-points the corpus at another FROM-able source (the composed
+    pipeline's twin)."""
     return f"""
-        WITH RECURSIVE corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        WITH RECURSIVE corpus AS (SELECT * FROM {corpus_src or augment_corpus_sql()}),
         hashed AS (SELECT doc_id, md5(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS text_hash FROM corpus),
         exact_edges AS (
             SELECT h.doc_id AS a, g.canonical AS b
@@ -974,7 +976,7 @@ def duplicate_clusters_sql() -> str:
             WHERE g.c > 1 AND h.doc_id <> g.canonical
         ),
         near_edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM ({lsh_pairs_sql()})
+            SELECT doc_a AS a, doc_b AS b FROM ({lsh_pairs_sql(corpus_src)})
         ),
         edges AS (
             SELECT a, b FROM exact_edges UNION SELECT a, b FROM near_edges
@@ -1029,12 +1031,12 @@ def near_dup_filter(
     )
 
 
-def near_dup_filter_sql() -> str:
+def near_dup_filter_sql(corpus_src: str | None = None) -> str:
     """DuckDB twin: the recursive-closure cluster oracle as a CTE, left
     join back onto the corpus."""
     return f"""
-        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
-        clusters AS ({duplicate_clusters_sql()})
+        WITH corpus AS (SELECT * FROM {corpus_src or augment_corpus_sql()}),
+        clusters AS ({duplicate_clusters_sql(corpus_src)})
         SELECT c.doc_id, cl.cluster_id,
                (cl.cluster_id IS NULL OR cl.cluster_id = c.doc_id) AS kept
         FROM corpus c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id

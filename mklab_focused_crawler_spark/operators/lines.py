@@ -66,46 +66,59 @@ MIN_LINE_CHARS = 12
 POS_PACK = 1 << 20
 
 
-def augment_lines(documents: DataFrame) -> DataFrame:
-    """Deterministic multi-line corpus (twin: :func:`augment_lines_sql`).
-
-    header: repeats per source → cross-doc duplicate, eligible.
+def boilerplate_text(did, source, text):
+    """The deterministic boilerplate-injection expression (header/
+    footer/ad lines) — exposed so the composed pipeline's augment can
+    plant the SAME line structure the line-dedup fixtures are tested
+    on. header: repeats per source → cross-doc duplicate, eligible.
     footer: repeats per doc_id%5 class; doc_id%4==0 docs carry it twice
     → within-doc duplicate. ad line: 4-6 chars, repeats everywhere but
-    is below MIN_LINE_CHARS → always kept (gate coverage).
-    """
-    did = F.col("doc_id")
+    is below MIN_LINE_CHARS → always kept (gate coverage)."""
     header = F.concat(
-        F.lit("all rights reserved by "),
-        F.coalesce(F.col("source"), F.lit("unknown")),
+        F.lit("all rights reserved by "), F.coalesce(source, F.lit("unknown"))
     )
     footer = F.concat(
         F.lit("subscribe to the newsletter edition "),
         (did % 5).cast("string"),
     )
     ad = F.concat(F.lit("ad "), (did % 3).cast("string"))
-    text2 = F.concat_ws(
+    return F.concat_ws(
         "\n",
         header,
-        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(text, F.lit("")),
         footer,
         F.when(did % 4 == 0, footer),
         ad,
     )
+
+
+def boilerplate_text_sql(
+    id_expr: str = "doc_id",
+    source_expr: str = "source",
+    text_expr: str = "coalesce(text, '')",
+) -> str:
+    footer = (
+        f"'subscribe to the newsletter edition ' || CAST({id_expr} % 5 AS VARCHAR)"
+    )
+    return f"""concat_ws(chr(10),
+                   'all rights reserved by ' || coalesce({source_expr}, 'unknown'),
+                   {text_expr},
+                   {footer},
+                   CASE WHEN {id_expr} % 4 = 0 THEN {footer} END,
+                   'ad ' || CAST({id_expr} % 3 AS VARCHAR)
+               )"""
+
+
+def augment_lines(documents: DataFrame) -> DataFrame:
+    """Deterministic multi-line corpus (twin: :func:`augment_lines_sql`);
+    see :func:`boilerplate_text` for the injected line structure."""
+    text2 = boilerplate_text(F.col("doc_id"), F.col("source"), F.col("text"))
     return documents.select("doc_id", "source", text2.alias("text"))
 
 
 def augment_lines_sql() -> str:
-    footer = "'subscribe to the newsletter edition ' || CAST(doc_id % 5 AS VARCHAR)"
     return f"""(
-        SELECT doc_id, source,
-               concat_ws(chr(10),
-                   'all rights reserved by ' || coalesce(source, 'unknown'),
-                   coalesce(text, ''),
-                   {footer},
-                   CASE WHEN doc_id % 4 = 0 THEN {footer} END,
-                   'ad ' || CAST(doc_id % 3 AS VARCHAR)
-               ) AS text
+        SELECT doc_id, source, {boilerplate_text_sql()} AS text
         FROM documents
     )"""
 
@@ -166,12 +179,13 @@ def line_dedup(corpus: DataFrame) -> DataFrame:
     )
 
 
-def line_dedup_sql() -> str:
+def line_dedup_sql(corpus_src: str | None = None) -> str:
     """DuckDB twin over the same augmented corpus (zipped unnest for
     position+line alignment, string_agg ORDER BY for reconstruction —
-    comparison-scale forms only)."""
+    comparison-scale forms only). ``corpus_src`` re-points the corpus
+    at another FROM-able source (the composed-pipeline twin)."""
     return f"""
-        WITH corpus AS (SELECT * FROM {augment_lines_sql()}),
+        WITH corpus AS (SELECT * FROM {corpus_src or augment_lines_sql()}),
         d AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    string_split(coalesce(text, ''), chr(10)) AS parts

@@ -91,14 +91,16 @@ def pii_redact_sql(table: str = "documents") -> str:
 # --------------------------------------------------------------------------
 
 
-def augment_pii(documents: DataFrame) -> DataFrame:
-    """Plant doc_id-derived PII spans into a deterministic subset of
-    documents (mirrored bit-for-bit by ``augment_pii_sql``): emails on
-    ids ≡ 0 (mod 3), SSNs on ≡ 0 (mod 5), phones on ≡ 0 (mod 7), IPs on
-    ≡ 0 (mod 11) — ids hit by several rules get several spans."""
-    d = F.col("doc_id")
+def plant_pii(text, did):
+    """doc_id-derived PII-span planting expression (mirrored bit-for-bit
+    by :func:`plant_pii_sql`): emails on ids ≡ 0 (mod 3), SSNs on ≡ 0
+    (mod 5), phones on ≡ 0 (mod 7), IPs on ≡ 0 (mod 11) — ids hit by
+    several rules get several spans. Exposed so the composed pipeline's
+    augment plants the same spans the redaction fixtures are tested
+    on."""
+    d = did
     ds = d.cast("string")
-    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.coalesce(text, F.lit(""))
     t = F.when(
         d % 3 == 0,
         F.concat(t, F.lit(" contact user"), ds, F.lit("@mail"), (d % 7).cast("string"), F.lit(".example.com")),
@@ -115,28 +117,43 @@ def augment_pii(documents: DataFrame) -> DataFrame:
         d % 11 == 0,
         F.concat(t, F.lit(" from 10."), (d % 256).cast("string"), F.lit("."), (d % 200).cast("string"), F.lit("."), (d % 250).cast("string")),
     ).otherwise(t)
-    return documents.select("doc_id", t.alias("text"))
+    return t
+
+
+def augment_pii(documents: DataFrame) -> DataFrame:
+    """Plant doc_id-derived PII spans into a deterministic subset of
+    documents — see :func:`plant_pii` for the rules."""
+    return documents.select(
+        "doc_id", plant_pii(F.col("text"), F.col("doc_id")).alias("text")
+    )
+
+
+def plant_pii_sql(
+    text_expr: str = "coalesce(text, '')", id_expr: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`plant_pii` — a scalar text expression."""
+    t = text_expr
+    t = (
+        f"(CASE WHEN {id_expr} % 3 = 0 THEN {t} || ' contact user' || CAST({id_expr} AS VARCHAR)"
+        f" || '@mail' || CAST({id_expr} % 7 AS VARCHAR) || '.example.com' ELSE {t} END)"
+    )
+    t = (
+        f"(CASE WHEN {id_expr} % 5 = 0 THEN {t} || ' id 123-45-' ||"
+        f" lpad(CAST({id_expr} % 10000 AS VARCHAR), 4, '0') ELSE {t} END)"
+    )
+    t = (
+        f"(CASE WHEN {id_expr} % 7 = 0 THEN {t} || ' call 555-' ||"
+        f" lpad(CAST({id_expr} % 1000 AS VARCHAR), 3, '0') || '-' ||"
+        f" lpad(CAST({id_expr} % 10000 AS VARCHAR), 4, '0') ELSE {t} END)"
+    )
+    t = (
+        f"(CASE WHEN {id_expr} % 11 = 0 THEN {t} || ' from 10.' ||"
+        f" CAST({id_expr} % 256 AS VARCHAR) || '.' || CAST({id_expr} % 200 AS VARCHAR)"
+        f" || '.' || CAST({id_expr} % 250 AS VARCHAR) ELSE {t} END)"
+    )
+    return t
 
 
 def augment_pii_sql(table: str = "documents") -> str:
     """DuckDB twin of ``augment_pii`` — a FROM-able derived table."""
-    t = "coalesce(text, '')"
-    t = (
-        f"(CASE WHEN doc_id % 3 = 0 THEN {t} || ' contact user' || CAST(doc_id AS VARCHAR)"
-        f" || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE {t} END)"
-    )
-    t = (
-        f"(CASE WHEN doc_id % 5 = 0 THEN {t} || ' id 123-45-' ||"
-        f" lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE {t} END)"
-    )
-    t = (
-        f"(CASE WHEN doc_id % 7 = 0 THEN {t} || ' call 555-' ||"
-        f" lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||"
-        f" lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE {t} END)"
-    )
-    t = (
-        f"(CASE WHEN doc_id % 11 = 0 THEN {t} || ' from 10.' ||"
-        f" CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR)"
-        f" || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE {t} END)"
-    )
-    return f"(SELECT doc_id, {t} AS text FROM {table})"
+    return f"(SELECT doc_id, {plant_pii_sql()} AS text FROM {table})"

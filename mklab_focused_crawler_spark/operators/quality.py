@@ -119,7 +119,7 @@ def doc_quality_signals(documents: DataFrame) -> DataFrame:
     return sig.withColumn("quality_pass", gate)
 
 
-def doc_quality_signals_sql() -> str:
+def doc_quality_signals_sql(table: str = "documents") -> str:
     t = "coalesce(text, '')"
     toks = tokenize_sql(t)
     g2 = ngrams_sql("toks", 2)
@@ -137,7 +137,7 @@ def doc_quality_signals_sql() -> str:
     top2 = "coalesce(list_max(list_transform(g2, g -> len(list_filter(g2, h -> h = g)))), 0)"
     return f"""
         WITH base AS (
-            SELECT doc_id, {toks} AS toks FROM documents
+            SELECT doc_id, {toks} AS toks FROM {table}
         ), arrs AS (
             SELECT doc_id, toks, {g2} AS g2, {g3} AS g3 FROM base
         ), sig AS (

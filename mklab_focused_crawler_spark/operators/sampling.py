@@ -157,7 +157,7 @@ def domain_quota(documents: DataFrame, quota: int = DOMAIN_QUOTA) -> DataFrame:
     )
 
 
-def domain_quota_sql(quota: int = DOMAIN_QUOTA) -> str:
+def domain_quota_sql(quota: int = DOMAIN_QUOTA, table: str = "documents") -> str:
     """DuckDB twin: the skew-free three-stage plan is exactly a
     windowed row_number at oracle scale."""
     h = hash64_sql("CAST(doc_id AS VARCHAR)")
@@ -166,7 +166,7 @@ def domain_quota_sql(quota: int = DOMAIN_QUOTA) -> str:
             SELECT doc_id, source,
                    row_number() OVER (PARTITION BY source
                                       ORDER BY {h}, doc_id) AS rn
-            FROM documents
+            FROM {table}
         ) ORDER BY doc_id
     """
 
@@ -174,6 +174,7 @@ def domain_quota_sql(quota: int = DOMAIN_QUOTA) -> str:
 def dataset_mix_sql(
     rates: dict[str, int] | None = None,
     default_ppm: int = DEFAULT_RATE_PPM,
+    table: str = "documents",
 ) -> str:
     rates = DEFAULT_RATES if rates is None else rates
     whens = " ".join(
@@ -184,7 +185,7 @@ def dataset_mix_sql(
         SELECT doc_id, source, sample_key FROM (
             SELECT doc_id, source, {draw} AS sample_key,
                    CASE source {whens} ELSE {default_ppm} END AS rate_ppm
-            FROM documents
+            FROM {table}
         ) WHERE sample_key < rate_ppm
         ORDER BY doc_id
     """
@@ -230,7 +231,7 @@ def shard_shuffle(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
 
 
-def shard_shuffle_sql(n_shards: int = N_SHARDS) -> str:
+def shard_shuffle_sql(n_shards: int = N_SHARDS, table: str = "documents") -> str:
     h = hash64_sql("'shard:' || CAST(doc_id AS VARCHAR)")
     return f"""
         SELECT doc_id, shard_id,
@@ -239,6 +240,6 @@ def shard_shuffle_sql(n_shards: int = N_SHARDS) -> str:
         FROM (
             SELECT doc_id, {h} AS h,
                    CAST({h} % {n_shards} AS INT) AS shard_id
-            FROM documents
+            FROM {table}
         ) ORDER BY doc_id
     """

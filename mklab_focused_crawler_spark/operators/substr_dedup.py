@@ -142,14 +142,15 @@ def substring_dedup(corpus: DataFrame, n: int = GRAM_N) -> DataFrame:
     )
 
 
-def substring_dedup_sql(n: int = GRAM_N) -> str:
+def substring_dedup_sql(n: int = GRAM_N, corpus_src: str | None = None) -> str:
     """DuckDB twin over the same augmented corpus. Zipped unnests keep
     position and value aligned; coverage is a range join; kept text
     rebuilds with string_agg ORDER BY. All integer arithmetic; the one
-    division is IEEE double of exact ints (cross-engine stable)."""
+    division is IEEE double of exact ints (cross-engine stable).
+    ``corpus_src`` re-points the corpus at another FROM-able source."""
     toks = tokenize_sql("text")
     return f"""
-        WITH corpus AS (SELECT * FROM {augment_corpus_sql()}),
+        WITH corpus AS (SELECT * FROM {corpus_src or augment_corpus_sql()}),
         d AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id, {toks} AS toks
             FROM corpus
