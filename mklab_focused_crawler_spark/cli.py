@@ -107,6 +107,22 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--store", required=True, help="incremental store root")
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--compact-every", type=int, default=None)
+    st.add_argument(
+        "--key-buckets",
+        type=int,
+        default=None,
+        help="band/shingle store partition fan-out for the lsh/clusters "
+        "ops (default: the store's committed value, else derived from "
+        "the first batch's band volume — see streaming.dedup."
+        "derive_key_buckets)",
+    )
+    st.add_argument(
+        "--bucket-cap",
+        type=int,
+        default=None,
+        help="hot-bucket occupancy cap for the lsh/clusters ops "
+        "(default: operators.dedup.LSH_BUCKET_CAP)",
+    )
     st.add_argument("--master", default=None)
     return p
 
@@ -268,6 +284,15 @@ def _run_stream(args) -> dict:
         # periodic maintenance is snapshot expiry — same cadence knob
         knob = "expire_every" if args.op == "quota" else "compact_every"
         kw[knob] = args.compact_every
+    if args.op in ("lsh", "clusters"):
+        if args.key_buckets is not None:
+            kw["key_buckets"] = args.key_buckets
+        if args.bucket_cap is not None:
+            kw["bucket_cap"] = args.bucket_cap
+    elif args.key_buckets is not None or args.bucket_cap is not None:
+        raise SystemExit(
+            "--key-buckets/--bucket-cap apply only to the lsh/clusters ops"
+        )
     fn(stream, args.store, args.checkpoint, **kw)
     return {"op": args.op, "store": args.store, "drained": True}
 

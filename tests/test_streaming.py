@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mklab_focused_crawler_spark.streaming.dedup import LSH_KEY_BUCKETS
 from mklab_focused_crawler_spark.operators.trending import (
     COUNT_WINDOW,
     rolling_top_events,
@@ -307,7 +308,9 @@ def test_streaming_lsh_deduplicates_like_batch(spark, tmp_path):
         .parquet(str(in_dir))
     )
     store = str(tmp_path / "lsh_store")
-    run_streaming_lsh_dedup(stream, store, str(tmp_path / "ckpt_lsh"))
+    run_streaming_lsh_dedup(
+        stream, store, str(tmp_path / "ckpt_lsh"), key_buckets=LSH_KEY_BUCKETS
+    )
 
     got = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
@@ -423,7 +426,8 @@ def test_streaming_duplicate_clusters_match_batch(spark, tmp_path):
     )
     store = str(tmp_path / "cc_store")
     tables = run_streaming_duplicate_clusters(
-        stream, store, str(tmp_path / "ckpt_cc"), compact_every=2
+        stream, store, str(tmp_path / "ckpt_cc"), compact_every=2,
+        key_buckets=LSH_KEY_BUCKETS,
     )
     got = {
         (r["doc_id"], r["cluster_id"])
@@ -468,7 +472,8 @@ def test_streaming_lsh_flood_pre_collapse(spark, tmp_path):
     )
     store = str(tmp_path / "flood_store")
     tables = run_streaming_lsh_dedup(
-        stream, store, str(tmp_path / "ckpt_flood"), bucket_cap=50
+        stream, store, str(tmp_path / "ckpt_flood"), bucket_cap=50,
+        key_buckets=LSH_KEY_BUCKETS,
     )
     assert not tables["hot"].exists()  # cap never fired: 1 canonical/bucket
     pairs = read_streaming_lsh_pairs(spark, store)
@@ -529,7 +534,9 @@ def test_streaming_lsh_replay_batch_is_idempotent(spark, tmp_path):
         .parquet(str(in_dir))
     )
     store = str(tmp_path / "replay_store")
-    tables = run_streaming_lsh_dedup(stream, store, str(tmp_path / "ckpt_replay"))
+    tables = run_streaming_lsh_dedup(
+        stream, store, str(tmp_path / "ckpt_replay"), key_buckets=LSH_KEY_BUCKETS
+    )
 
     before = {
         name: t.read(spark).count()
@@ -721,7 +728,7 @@ def test_streaming_clusters_driver_work_proportional_to_batch(spark, tmp_path):
     stats: list = []
     run_streaming_duplicate_clusters(
         stream, str(tmp_path / "prop_store"), str(tmp_path / "ckpt_prop"),
-        stats_out=stats,
+        stats_out=stats, key_buckets=LSH_KEY_BUCKETS,
     )
     assert [s["mode"] for s in stats] == ["driver", "driver"]
     assert stats[0]["driver_rows"] > 100  # the big batch folded real work
@@ -817,7 +824,7 @@ def test_streaming_clusters_distributed_fallback(spark, tmp_path):
     stats: list = []
     tables = run_streaming_duplicate_clusters(
         stream, str(tmp_path / "fb_store"), str(tmp_path / "ckpt_fb"),
-        driver_edge_limit=0, stats_out=stats,
+        driver_edge_limit=0, stats_out=stats, key_buckets=LSH_KEY_BUCKETS,
     )
     # batch 0 runs in the (empty-evidence) driver regime, crosses the
     # limit, and every later batch runs distributed
@@ -863,7 +870,8 @@ def test_streaming_hot_cap_contract(spark, tmp_path):
     )
     store = str(tmp_path / "hot_store")
     tables = run_streaming_lsh_dedup(
-        stream, store, str(tmp_path / "ckpt_hot"), bucket_cap=2
+        stream, store, str(tmp_path / "ckpt_hot"), bucket_cap=2,
+        key_buckets=LSH_KEY_BUCKETS,
     )
     got = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
@@ -1285,3 +1293,94 @@ def test_streaming_ppl_matches_batch(spark, tmp_path):
     )
     assert got == want and len(want) > 0
     assert {t[3] for t in want} >= {"head", "tail"}
+
+
+def test_streaming_lsh_parity_at_nondefault_buckets(spark, tmp_path):
+    """VERDICT r4 item 4: the bucket fan-out is a real constructor knob —
+    the pair store must equal batch lsh_pairs at a NON-default bucket
+    count (the partitioning is layout, never semantics)."""
+    import pandas as pd
+
+    from mklab_focused_crawler_spark.operators.dedup import (
+        augment_corpus,
+        lsh_pairs,
+    )
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        _read_key_buckets,
+        read_streaming_lsh_pairs,
+        run_streaming_lsh_dedup,
+    )
+
+    corpus = augment_corpus(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    pdf = corpus.toPandas()
+    in_dir = tmp_path / "in_nb"
+    _write_batches(
+        in_dir, [pdf[pdf.doc_id % 2 == 0], pdf[pdf.doc_id % 2 == 1]]
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "nb_store")
+    run_streaming_lsh_dedup(
+        stream, store, str(tmp_path / "ckpt_nb"), key_buckets=16
+    )
+    assert _read_key_buckets(store) == 16  # committed for later processes
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in read_streaming_lsh_pairs(spark, store).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in lsh_pairs(corpus).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_key_buckets_derivation_and_store_meta(spark, tmp_path):
+    """The deployment default derives the fan-out from the first batch
+    (≈ target_fraction × its band rows, next pow2, clamped), commits it
+    to the store meta, reuses it on reopen, and refuses a conflicting
+    explicit value (the layout is physical)."""
+    import pandas as pd
+    import pytest
+
+    from mklab_focused_crawler_spark.streaming.dedup import (
+        LSH_KEY_BUCKETS,
+        LSH_KEY_BUCKETS_CAP,
+        _read_key_buckets,
+        derive_key_buckets,
+        run_streaming_lsh_dedup,
+    )
+
+    assert derive_key_buckets(1) == LSH_KEY_BUCKETS  # floor
+    assert derive_key_buckets(100) == 1024  # next_pow2(8*100)
+    assert derive_key_buckets(10**7) == LSH_KEY_BUCKETS_CAP  # clamp
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": [" ".join(f"d{d}w{i}" for i in range(12)) for d in range(3)],
+        }
+    )
+    in_dir = tmp_path / "in_derive"
+    _write_batches(in_dir, [docs])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "derive_store")
+    run_streaming_lsh_dedup(stream, store, str(tmp_path / "ckpt_derive"))
+    committed = _read_key_buckets(store)
+    # 3 docs × 32 bands = 96 band rows → next_pow2(8·96) = 1024
+    assert committed == 1024
+
+    # reopening with a conflicting explicit value must refuse
+    with pytest.raises(ValueError, match="key_buckets"):
+        run_streaming_lsh_dedup(
+            stream, store, str(tmp_path / "ckpt_derive2"), key_buckets=512
+        )
