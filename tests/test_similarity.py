@@ -124,7 +124,9 @@ def test_train_sample_mod_scales_with_corpus(spark, tmp_path):
     c_pq = sim.train_ivf_codebook_parquet(path)
     c_df = sim.train_ivf_codebook_df(spark.read.parquet(path))
     assert c_df == c_pq  # same rule, same rows, same codebook
-    assert len(c_df) == sim.K_LISTS
+    # the list count itself now derives from the corpus (r5): this n is
+    # big enough to leave the K_LISTS floor behind
+    assert len(c_df) == sim.derive_k_lists(n) > sim.K_LISTS
 
 
 def test_semantic_dedup_semantics_vs_brute_force(spark):
@@ -226,3 +228,48 @@ def test_ivf_pq_rerank_pool_bounds_misranking(spark):
         ).select("probe_id", "vec_id", "rank", "dot_q")
     )
     assert pq == flat
+
+
+def test_derived_k_lists_scales_and_twins_agree(spark, tmp_path):
+    """VERDICT r4 item 5: the list count derives from the corpus
+    (average cluster ≈ TARGET_LIST_SIZE, clamped) instead of a fixed
+    K_LISTS — and on a corpus big enough to CHANGE the value, both
+    training paths still produce identical codebooks and the
+    semantic_dedup / ivf_topk oracles still agree exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    assert sim.derive_k_lists(100) == sim.K_LISTS  # floor
+    assert sim.derive_k_lists(40 * sim.TARGET_LIST_SIZE) == 40
+    assert sim.derive_k_lists(10**9) == sim.K_LISTS_CAP  # driver ceiling
+
+    emb = _clustered_embeddings(spark, n_clusters=40, per_cluster=110)
+    n = emb.count()
+    k = sim.derive_k_lists(n)
+    assert k > sim.K_LISTS  # the corpus genuinely changes the value
+
+    path = str(tmp_path / "emb.parquet")
+    pdf = emb.toPandas()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+    cents_df = sim.train_ivf_codebook_df(emb)
+    cents_pq = sim.train_ivf_codebook_parquet(path)
+    assert cents_df == cents_pq and len(cents_df) == k
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+
+    got_sd = _rows(sim.semantic_dedup(emb, centroids=cents_df))
+    want_sd = sorted(
+        tuple(r)
+        for r in con.sql(sim.semantic_dedup_sql(centroids=cents_pq)).fetchall()
+    )
+    assert got_sd == want_sd and len(got_sd) == n
+
+    got_ivf = _rows(sim.ivf_topk(emb, centroids=cents_df))
+    want_ivf = sorted(
+        tuple(r)
+        for r in con.sql(sim.ivf_topk_sql(centroids=cents_pq)).fetchall()
+    )
+    assert got_ivf == want_ivf and len(got_ivf) > 0
