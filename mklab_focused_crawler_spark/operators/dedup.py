@@ -899,36 +899,69 @@ def clusters_from_canonical(
     return out
 
 
-def min_label_propagation(edges: DataFrame) -> DataFrame:
-    """Distributed connected components by iterative min-label
-    propagation over an (a, b) edge frame → (doc_id, cluster_id) with
-    cluster_id = min(doc_id) of the component. O(log n) join rounds,
-    each a shuffle on doc_id — no driver-side graph. The >1M-edge
-    regime of :func:`duplicate_clusters`, shared with the streaming
-    clusters op's fallback so the two paths can't diverge."""
-    # bidirectional adjacency — persisted: every propagation round joins
-    # against it, and recomputing it would re-run the edge pipeline
+# convergence backstop for min_label_propagation: with pointer-doubling
+# each round at least halves every remaining label-chain, so 64 rounds
+# cover any graph that fits in an int64 id space; hitting the cap means
+# a logic bug, not a big graph — fail loudly, never return partial labels
+MAX_LABEL_ROUNDS = 64
+
+
+def min_label_propagation(
+    edges: DataFrame, stats: dict | None = None
+) -> DataFrame:
+    """Distributed connected components by min-label propagation WITH
+    pointer-doubling over an (a, b) edge frame → (doc_id, cluster_id),
+    cluster_id = min(doc_id) of the component. No driver-side graph.
+    The >1M-edge regime of :func:`duplicate_clusters`, shared with the
+    streaming clusters op's fallback so the two paths can't diverge.
+
+    Each round is (1) neighbor-min — every vertex takes the min label
+    over its neighbors — then (2) a SHORTCUT join: label(v) :=
+    min(label(v), label(label(v))). Neighbor-min alone moves a
+    component's min one hop per round (O(diameter) — a 10^5-long chain
+    of near-dup docs would need 10^5 rounds); the shortcut halves every
+    label-chain per round, giving the textbook O(log n) bound
+    (pointer-doubling / Shiloach-Vishkin-style shortcutting; measured
+    round counts in PLANS.md round 5). Every label IS a vertex id
+    (init label = own id; mins of ids), so the shortcut join is total.
+    Converges when a round changes nothing; the 64-round backstop only
+    guards against logic bugs (it would otherwise silently mislabel —
+    the pre-r5 cap of 20 neighbor-min-only rounds did exactly that on
+    chains longer than 20).
+
+    ``stats`` (optional) receives {"rounds": N} — the measured pass
+    count."""
+    # bidirectional adjacency + label frames are LINEAGE-CUT per round
+    # (localCheckpoint: materialize + truncate): an iterative algorithm
+    # that only persists grows its LOGICAL plan ~4× per round (labels is
+    # referenced twice per stage) — the round-10 plan's mere toString
+    # OOMed the driver. This is the standard iterative-graph checkpoint
+    # cadence (GraphFrames does the same); a production run on flaky
+    # executors uses a reliable checkpoint dir instead of local blocks.
     adj = (
         edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .dropDuplicates(["a", "b"])
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     labels = (
         adj.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # ≥ log2(n) rounds; tiny diameters in practice
+    rounds = 0
+    converged = False
+    while rounds < MAX_LABEL_ROUNDS:
+        rounds += 1
         neighbor_min = (
             adj.join(labels, adj["b"] == labels["doc_id"])
             .groupBy(adj["a"])
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["a"], "left")
             .select(
                 "doc_id",
@@ -936,7 +969,22 @@ def min_label_propagation(edges: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
+        )
+        # pointer-doubling shortcut: follow one's label's label
+        lref = stepped.select(
+            F.col("doc_id").alias("ref_id"), F.col("label").alias("ref_label")
+        )
+        new_labels = (
+            stepped.join(lref, stepped["label"] == lref["ref_id"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("ref_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -945,10 +993,21 @@ def min_label_propagation(edges: DataFrame) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        for h in (labels, stepped):
+            h.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels.unpersist()
+        adj.unpersist()
+        raise RuntimeError(
+            f"min_label_propagation did not converge in {MAX_LABEL_ROUNDS} "
+            "rounds — shortcutting guarantees O(log n); this is a bug"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
     # materialize the (small) label table so the final round's cache —
     # and the whole propagation lineage — can be released now; callers
     # own out.unpersist() (the shared-artifact cache does on evict)

