@@ -124,6 +124,28 @@ def _build_parser() -> argparse.ArgumentParser:
         "(default: operators.dedup.LSH_BUCKET_CAP)",
     )
     st.add_argument("--master", default=None)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="run the composed training-data pipeline (line/substring "
+        "dedup → quality → decontaminate → PII → near-dup → quota → mix "
+        "→ shard → pack) over a documents parquet and write the packed "
+        "chunk map",
+    )
+    pl.add_argument(
+        "--in", dest="in_path", required=True,
+        help="documents parquet (doc_id, source, text)",
+    )
+    pl.add_argument(
+        "--out", required=True, help="output dir for the chunk-map parquet"
+    )
+    pl.add_argument(
+        "--workdir",
+        default=None,
+        help="intermediate-table dir (default: <out>/_stages) — the text "
+        "chain commits clean/prov tables here (the lineage cut)",
+    )
+    pl.add_argument("--master", default=None)
     return p
 
 
@@ -297,6 +319,27 @@ def _run_stream(args) -> dict:
     return {"op": args.op, "store": args.store, "drained": True}
 
 
+def _run_pipeline(args) -> dict:
+    """The composed pipeline as a batch job: read documents, run every
+    hygiene stage, write the (shard, chunk, piece → provenance) map.
+    The intermediate clean/prov tables land under --workdir and are the
+    job's restart points (re-running overwrites them)."""
+    from .operators.pipeline import pipeline_e2e
+
+    spark = _session(args.master)
+    workdir = args.workdir or os.path.join(args.out, "_stages")
+    docs = spark.read.parquet(args.in_path)
+    out = pipeline_e2e(spark, docs, workdir=workdir)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    return {
+        "out": args.out,
+        "workdir": workdir,
+        "rows": n,
+        "done": True,
+    }
+
+
 def _run_lineage(args) -> None:
     from .operators.crawl import CrawlLoop
 
@@ -318,6 +361,8 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(_run_crawl(args)))
     elif args.cmd == "stream":
         print(json.dumps(_run_stream(args)))
+    elif args.cmd == "pipeline":
+        print(json.dumps(_run_pipeline(args)))
     elif args.cmd == "lineage":
         _run_lineage(args)
 

@@ -334,3 +334,37 @@ def test_cli_validation_runs_before_session(tmp_path, monkeypatch):
     ]:
         with pytest.raises(SystemExit):
             cli.main(argv)
+
+
+def test_cli_pipeline_runs_end_to_end(spark, tmp_path, capsys):
+    """The pipeline subcommand: documents parquet in → packed chunk map
+    out, intermediate tables under --workdir, one JSON result line."""
+    import json
+
+    from mklab_focused_crawler_spark.cli import main
+
+    out_dir = str(tmp_path / "pipe_out")
+    main(
+        [
+            "pipeline",
+            "--in",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out",
+            out_dir,
+            "--master",
+            "local[4]",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["done"] and res["rows"] > 0
+    got = spark.read.parquet(out_dir)
+    assert {
+        "shard_id",
+        "chunk_id",
+        "pos",
+        "doc_id",
+        "source",
+        "piece_start",
+        "piece_len",
+    } == set(got.columns)
+    assert got.count() == res["rows"]
