@@ -107,6 +107,14 @@ QUADRATIC = {
     # lexicon_filter: zero-shuffle narrow map — the bound catches a
     # lost pushdown or collapsed partition
     "lexicon_filter": 15.0,
+    # round-5 additions: bpe_merges_iter adds R vocabulary-sized rounds
+    # on top of the linear word groupBy; ivf_pq_topk is the probe-join
+    # family plus per-corpus driver training (derived k grows with n,
+    # sample stays ~256·k); pipeline_e2e chains only linear stages plus
+    # the LSH build on the namespaced corpus
+    "bpe_merges_iter": 15.0,
+    "ivf_pq_topk": 100.0,
+    "pipeline_e2e": 15.0,
 }
 
 # The LSH family shares a per-corpus artifact cache at the entry layer
@@ -181,6 +189,9 @@ def main() -> None:
     def _timed(name, sf_dir):
         if name in _LSH_FAMILY:
             entry.clear_lsh_cache()
+        if name == "pipeline_e2e":
+            # same honesty rule: every timed leg pays the full build
+            entry.clear_pipeline_cache()
         return _time(qs[name], spark, sf_dir)
 
     for name, bound in QUADRATIC.items():

@@ -738,6 +738,39 @@ def train_ivf_codebook_parquet(path: str) -> list[list[int]]:
     )
 
 
+def _codebook_lits(cents: list[list[int]]) -> tuple[F.Column, F.Column]:
+    """(codebook, norms) as TWO literal columns — one nested-array
+    Literal node and one array Literal node — instead of per-centroid
+    expression branches. With k separate qdot subtrees the expression
+    tree grows ∝ k·dim and Catalyst/codegen pay seconds of compile per
+    plan (measured: the 128-branch PQ code stage alone cost ~5 s per
+    fresh plan at 2000 rows); with literals the tree is a constant size
+    and one transform lambda folds every centroid. Mandatory once the
+    list count derives from the corpus (k up to 4096)."""
+    cbs = F.lit([[int(v) for v in c] for c in cents]).cast(
+        "array<array<bigint>>"
+    )
+    n2s = F.lit([sum(v * v for v in c) for c in cents]).cast("array<bigint>")
+    return cbs, n2s
+
+
+def _l2_score_structs(q_col, cents: list[list[int]]) -> F.Column:
+    """array<struct<nd,j>> of squared-L2 sort keys vs every centroid:
+    nd = |c_j|² − 2⟨x,c_j⟩ (the |x|² term is constant per row), j the
+    deterministic tie-break. One transform over the literal codebook."""
+    cbs, n2s = _codebook_lits(cents)
+
+    def score(cvec, j):
+        return F.struct(
+            (F.element_at(n2s, j + F.lit(1)) - 2 * qdot(q_col, cvec)).alias(
+                "nd"
+            ),
+            j.cast("int").alias("j"),
+        )
+
+    return F.transform(cbs, score)
+
+
 def _ivf_ranked_lists(q_col, centroids: list[list[int]] | None = None) -> F.Column:
     """Array of list ids, best-first under squared L2 distance:
     |x−c|² = |x|² − 2⟨x,c⟩ + |c|², and |x|² is constant per row, so the
@@ -748,19 +781,9 @@ def _ivf_ranked_lists(q_col, centroids: list[list[int]] | None = None) -> F.Colu
     norms) L2 is the correct nearest-centroid rule. Pure int64 either
     way — exact on both engines."""
     cents = IVF_CENTROIDS if centroids is None else centroids
-    scores = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(sum(v * v for v in c)).cast("long")
-                    - 2 * qdot(q_col, F.lit(c))
-                ).alias("nd"),
-                F.lit(j).cast("int").alias("j"),
-            )
-            for j, c in enumerate(cents)
-        ]
+    return F.transform(
+        F.array_sort(_l2_score_structs(q_col, cents)), lambda s: s["j"]
     )
-    return F.transform(F.array_sort(scores), lambda s: s["j"])
 
 
 def ivf_topk(
@@ -956,22 +979,12 @@ def _pq_sub(q_col, mi: int) -> F.Column:
 def _pq_code(q_col, books: list[list[list[int]]]) -> F.Column:
     """array<int> of per-sub-space nearest-centroid codes (squared-L2
     ascending, code id ascending as the deterministic tie-break — the
-    same argmin rule as the coarse quantizer, per sub-slice)."""
+    same argmin rule as the coarse quantizer, per sub-slice). Literal
+    sub-codebooks + one transform per sub-space (see
+    :func:`_codebook_lits` for why)."""
     codes = []
     for mi, book in enumerate(books):
-        sub = _pq_sub(q_col, mi)
-        scores = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(sum(v * v for v in c)).cast("long")
-                        - 2 * qdot(sub, F.lit(c))
-                    ).alias("nd"),
-                    F.lit(j).cast("int").alias("j"),
-                )
-                for j, c in enumerate(book)
-            ]
-        )
+        scores = _l2_score_structs(_pq_sub(q_col, mi), book)
         codes.append(F.element_at(F.array_sort(scores), 1)["j"])
     return F.array(*codes)
 
@@ -979,13 +992,20 @@ def _pq_code(q_col, books: list[list[list[int]]]) -> F.Column:
 def _pq_tbl(pq_col, books: list[list[list[int]]]) -> F.Column:
     """array<array<long>>: tbl[m][j] = ⟨probe_sub_m, c_{m,j}⟩ — the
     per-probe asymmetric-distance table (m·ks int64 dot products,
-    evaluated on PROBE rows only)."""
-    return F.array(
-        *[
-            F.array(*[qdot(_pq_sub(pq_col, mi), F.lit(c)) for c in book])
-            for mi, book in enumerate(books)
-        ]
-    )
+    evaluated on PROBE rows only; one transform over each literal
+    sub-codebook)."""
+    def dot_fn(sub):
+        # closure factory keeps the HOF lambda unary (CLAUDE.md arity)
+        def f(cvec):
+            return qdot(sub, cvec)
+
+        return f
+
+    cols = []
+    for mi, book in enumerate(books):
+        cbs, _ = _codebook_lits(book)
+        cols.append(F.transform(cbs, dot_fn(_pq_sub(pq_col, mi))))
+    return F.array(*cols)
 
 
 def ivf_pq_topk(
