@@ -786,6 +786,75 @@ def _ivf_ranked_lists(q_col, centroids: list[list[int]] | None = None) -> F.Colu
     )
 
 
+# Regime boundary for nearest-centroid assignment: at or below this list
+# count the pure-expression scorer runs (zero Python in the plan); above
+# it the k·DIM interpreted HOF evaluations per row dominate (measured:
+# 76.7 s for 20k rows at k=156 vs 1.3 s of actual integer work) and the
+# Arrow GEMM kernel takes over — nearest-centroid assignment IS a matrix
+# multiply (FAISS's own assignment path), and the derived list count
+# reaches 4096, where no expression formulation compiles or runs well.
+IVF_EXPR_MAX_K = 64
+
+
+def _ranked_gemm_kernel(bc, n_keep: int, cols: list[str]):
+    import numpy as np
+
+    def kernel(batches):
+        import pandas as pd
+
+        C, cn2 = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            nd = cn2[None, :] - 2 * (X @ C.T)  # int64 exact
+            # stable argsort on nd == ordering by (nd, j): ties keep the
+            # original column order, i.e. centroid id ascending — the
+            # same total comparator as the expression path's (nd, j)
+            order = np.argsort(nd, axis=1, kind="stable")[:, :n_keep]
+            out = pdf[cols].copy()
+            out["ranked"] = [row.astype(np.int32).tolist() for row in order]
+            yield out
+
+    return kernel
+
+
+def ivf_assign(
+    q_frame: DataFrame,
+    centroids: list[list[int]] | None,
+    n_keep: int,
+) -> DataFrame:
+    """``q_frame`` (must carry an int-array column ``q``) + a ``ranked``
+    array<int> column of the ``n_keep`` best list ids under the exact
+    (nd, j) rule — the shared nearest-centroid assignment of the IVF
+    family (ivf_topk / semantic_dedup / ivf_pq_topk). Regime-switched
+    on the list count (see IVF_EXPR_MAX_K): the two paths compute the
+    SAME int64 scores with the SAME tie-break, so the output is
+    bit-identical — pinned by the big-k twin-parity test."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    cents = IVF_CENTROIDS if centroids is None else centroids
+    n_keep = min(n_keep, len(cents))
+    if len(cents) <= IVF_EXPR_MAX_K:
+        return q_frame.withColumn(
+            "ranked",
+            F.slice(_ivf_ranked_lists(F.col("q"), cents), 1, n_keep),
+        )
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64)
+    cn2 = (C * C).sum(axis=1)
+    bc = q_frame.sparkSession.sparkContext.broadcast((C, cn2))
+    cols = list(q_frame.columns)
+    # a COPY: StructType.add mutates the receiving instance, and the
+    # input frame's cached schema must not grow a phantom column
+    schema = StructType(
+        list(q_frame.schema.fields)
+        + [StructField("ranked", ArrayType(IntegerType()))]
+    )
+    return q_frame.mapInPandas(_ranked_gemm_kernel(bc, n_keep, cols), schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = TOP_K,
@@ -795,17 +864,17 @@ def ivf_topk(
     q = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", qnorm2(F.col("q")))
-    ranked = _ivf_ranked_lists(F.col("q"), centroids)
-    assigned = q.select(
-        "vec_id", "q", "n2", F.get(ranked, 0).alias("list_id")
+    qa = ivf_assign(q, centroids, n_probe)
+    assigned = qa.select(
+        "vec_id", "q", "n2", F.element_at("ranked", 1).alias("list_id")
     )
     probes = (
-        q.filter(F.col("vec_id") % PROBE_MOD == 0)
+        qa.filter(F.col("vec_id") % PROBE_MOD == 0)
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("q").alias("pq"),
             F.col("n2").alias("pn2"),
-            F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
+            F.explode("ranked").alias("list_id"),
         )
     )
     cand = probes.join(assigned, "list_id").filter(
@@ -1041,28 +1110,36 @@ def ivf_pq_topk(
     q = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", qnorm2(F.col("q")))
-    ranked = _ivf_ranked_lists(F.col("q"), centroids)
-    index = q.select(
+    qa = ivf_assign(q, centroids, n_probe)
+    index = qa.select(
         "vec_id",
-        F.get(ranked, 0).alias("list_id"),
+        F.element_at("ranked", 1).alias("list_id"),
         _pq_code(F.col("q"), books).alias("code"),
         "n2",
     )
-    probes = q.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+    probes = qa.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.col("n2").alias("pn2"),
         _pq_tbl(F.col("q"), books).alias("tbl"),
-        F.explode(F.slice(ranked, 1, n_probe)).alias("list_id"),
+        F.explode("ranked").alias("list_id"),
     )
     cand = index.join(broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("probe_id")
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("tbl"), F.col("code"), lambda t, cd: F.element_at(t, cd + 1)
+    # ADC = Σ_m tbl[m][code[m]] as a FLAT sum of PQ_M lookups — this is
+    # the per-candidate hot path, and a zip_with+aggregate formulation
+    # allocates two arrays and runs two lambda folds per candidate row;
+    # the flat sum is plain codegen arithmetic (PQ_M is a compile-time
+    # constant, so unrolling costs nothing)
+    adc = sum(
+        (
+            F.element_at(
+                F.element_at(F.col("tbl"), mi + 1),
+                F.element_at(F.col("code"), mi + 1) + F.lit(1),
+            )
+            for mi in range(PQ_M)
         ),
         F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
     )
     pool_w = Window.partitionBy("probe_id").orderBy(
         F.desc("adc_q"), F.asc("vec_id")
@@ -1343,11 +1420,11 @@ def semantic_dedup(
     q = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", qnorm2(F.col("q")))
-    assigned = q.select(
+    assigned = ivf_assign(q, centroids, 1).select(
         "vec_id",
         "q",
         "n2",
-        F.get(_ivf_ranked_lists(F.col("q"), centroids), 0).alias("list_id"),
+        F.element_at("ranked", 1).alias("list_id"),
     )
     earlier = assigned.select(
         F.col("vec_id").alias("id_a"),

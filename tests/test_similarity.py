@@ -244,10 +244,13 @@ def test_derived_k_lists_scales_and_twins_agree(spark, tmp_path):
     assert sim.derive_k_lists(40 * sim.TARGET_LIST_SIZE) == 40
     assert sim.derive_k_lists(10**9) == sim.K_LISTS_CAP  # driver ceiling
 
-    emb = _clustered_embeddings(spark, n_clusters=40, per_cluster=110)
+    emb = _clustered_embeddings(spark, n_clusters=80, per_cluster=110)
     n = emb.count()
     k = sim.derive_k_lists(n)
-    assert k > sim.K_LISTS  # the corpus genuinely changes the value
+    # the corpus genuinely changes the value AND crosses the assignment
+    # regime boundary: this parity run exercises the Arrow GEMM
+    # nearest-centroid kernel against the DuckDB relational argmin
+    assert k > sim.IVF_EXPR_MAX_K > sim.K_LISTS
 
     path = str(tmp_path / "emb.parquet")
     pdf = emb.toPandas()
